@@ -1,0 +1,131 @@
+"""spans_extract — the shippable extraction job.
+
+    spark-submit --py-files engine.zip jobs/spans_extract.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/out \
+        --run-id r1 --run-ts 2026-01-01T00:00:00 [--waves 4] [--resume]
+
+One batch plan replaces the reference's FastAPI→Celery→Redis queue
+(SURVEY.md §3): synthesize/read the interleaved docs table → content-hash →
+cache anti-join → per-kind vectorized extract → ordered reassembly → write
+results + cache + per-bucket progress markers.
+
+Resumability: documents are processed in ``--waves`` sequential wave groups
+(bucket % waves). Each wave overwrites its own result partitions
+(dynamic partition overwrite → idempotent) and then appends its progress
+markers; ``--resume`` skips buckets already marked done for the run-id, so a
+crash costs at most one wave of recompute and never duplicates output rows.
+
+Prints one JSON line: docs, spans, wall seconds, docs/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from text_extract_api_spark.checkpoint import (  # noqa: E402
+    bucket_col,
+    completed_buckets,
+    write_progress,
+)
+from text_extract_api_spark.io import read_table, write_table  # noqa: E402
+from text_extract_api_spark.partitioning import repartition_by_size  # noqa: E402
+from text_extract_api_spark.pipeline import run_extract_pipeline  # noqa: E402
+from text_extract_api_spark.session import get_spark  # noqa: E402
+from text_extract_api_spark.synth import synthesize_interleaved  # noqa: E402
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--run-ts", default="2026-01-01 00:00:00")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--input-table", default=None,
+                    help="pre-built interleaved table location (skips synthesis)")
+    ap.add_argument("--media-table", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("spans_extract", master=args.master,
+                      extra_conf={"spark.sql.sources.partitionOverwriteMode": "dynamic"})
+
+    if args.input_table:
+        docs = read_table(spark, args.input_table)
+        media = read_table(spark, args.media_table) if args.media_table else None
+    else:
+        docs, media = synthesize_interleaved(spark, args.sf_dir)
+
+    results_loc = f"{args.out}/results"
+    cache_loc = f"{args.out}/cache"
+    progress_loc = f"{args.out}/progress"
+
+    try:
+        cache = read_table(spark, cache_loc)
+    except Exception:
+        cache = None
+
+    docs = docs.withColumn("bucket", bucket_col(F.col("doc_id"), args.n_buckets))
+    if args.resume:
+        done = completed_buckets(spark, progress_loc, args.run_id)
+        docs = docs.join(F.broadcast(done), "bucket", "left_anti")
+
+    t0 = time.time()
+    total_docs = 0
+    total_spans = 0
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for wave in range(args.waves):
+        wave_docs = docs.filter(F.pmod(F.col("bucket"), F.lit(args.waves)) == wave)
+        if args.waves > 1 and wave_docs.isEmpty():
+            continue
+        wave_docs = repartition_by_size(wave_docs, shuffle_n)
+        results, new_cache = run_extract_pipeline(
+            spark, wave_docs.select("doc_id", "spans", "bucket"),
+            media, cache, args.run_id,
+        )
+        results = results.join(
+            wave_docs.select("doc_id", "bucket"), "doc_id", "inner"
+        )
+        results.persist()
+        n_docs = results.count()
+        n_spans = results.agg(F.sum(F.size("spans"))).collect()[0][0] or 0
+        # partition by (run_id, bucket): dynamic overwrite is then idempotent
+        # per wave AND isolated between runs
+        write_table(results, results_loc, mode="overwrite", partition_by=["run_id", "bucket"])
+        if cache is not None:
+            # keep the cache near-unique: only genuinely new hashes append
+            new_cache = new_cache.join(
+                cache.select("content_hash"), "content_hash", "left_anti"
+            )
+        write_table(new_cache, cache_loc, mode="append")
+        write_progress(results, progress_loc, args.run_id, args.run_ts)
+        results.unpersist()
+        total_docs += n_docs
+        total_spans += int(n_spans)
+
+    wall = time.time() - t0
+    summary = {
+        "run_id": args.run_id,
+        "docs": total_docs,
+        "spans": total_spans,
+        "sec": round(wall, 3),
+        "docs_per_sec": round(total_docs / wall, 2) if wall > 0 else None,
+        "waves": args.waves,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Table I/O — Iceberg when available, Parquet fallback.
+
+The north rule mandates Iceberg tables; this sandbox ships no
+``iceberg-spark-runtime`` jar, so all reads/writes go through this thin
+seam: identical call sites, format chosen at runtime. On a real cluster set
+``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`` and these
+functions route to ``writeTo(...).append()`` / ``spark.read.table(...)``.
+
+The reference's storage profiles (local FS / S3 / GDrive,
+``files/storage_manager.py:18-44``) collapse into this layer: a profile is a
+catalog+path config, not per-row I/O.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """``location`` is either an Iceberg table identifier (``cat.db.tbl``)
+    or a filesystem path (fallback)."""
+    spark = df.sparkSession
+    if "://" not in location and "." in location.split("/")[-1] and iceberg_available(spark):
+        writer = df.writeTo(location)
+        (writer.append() if mode == "append" else writer.createOrReplace())
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    if "://" not in location and "." in location.split("/")[-1] and iceberg_available(spark):
+        return spark.read.table(location)
+    return spark.read.parquet(location)

@@ -1,0 +1,220 @@
+"""The extraction pipeline — one declarative DataFrame plan.
+
+This is the Spark re-expression of the reference's per-document task
+lifecycle (``extract/tasks.py:18-96``):
+
+    read docs → content_hash (md5, file_format.py:109-110)
+      → cache probe (Redis get, tasks.py:44-48)  ⇒  inner/anti join split
+      → strategy dispatch by kind (file_format.py:196-202) ⇒ CASE routing
+      → per-kind extraction (strategies/*)        ⇒ Column exprs + one UDF
+      → page concat in page order (easyocr.py:52-56, pdf_to_jpeg.py:16)
+                                                  ⇒ media join + sorted agg
+      → PII pass (tasks.py:71-84 LLM prompt)      ⇒ regexp_replace chain
+      → cache fill (tasks.py:68-69)               ⇒ new-cache append
+      → ordered span reassembly                   ⇒ collect_list + array_sort
+
+Scale properties (the part that matters at 10^12 docs):
+
+- **compute once per distinct payload**: extraction runs on one
+  representative row per ``content_hash`` and fans back with an equi-join —
+  the batch generalization of the reference's cross-request Redis
+  memoization. Duplicate-heavy corpora do proportionally less work.
+- **two shuffles** on the hot path (hash-dedup regroup + fan-back join),
+  both on ``content_hash`` — AQE coalesces/splits them at runtime; cache
+  joins broadcast automatically when the cache side is small.
+- **no per-row Python**: text/markdown/pii/pdf paths are whole-stage
+  codegen; only HTML crosses into an Arrow-batched pandas UDF, and only
+  HTML *rows* pay for it (non-html rows pass '' through the batch).
+- **order is explicit**: every regroup sorts on ``offset`` / ``page_no``,
+  never on arrival order (strict span-sequence-equality invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .extractors.html import extract_main_content_udf
+from .extractors.pii import anonymize_col
+from .extractors.text import normalize_ws_col, strip_markdown_col
+from .schema import MEDIA_KINDS
+
+# Canonical payload separators (unit / record) for content hashing.
+US = "\x1f"
+RS = "\x1e"
+
+PAGE_SEP = "\n\n"  # page-join separator (easyocr.py:56)
+
+
+def sorted_spans(spans_col):
+    """Sort a span array by its explicit offset — the only legal order."""
+    return F.array_sort(spans_col, lambda a, b: a["offset"] - b["offset"])
+
+
+def content_hash_col(spans_col) -> F.Column:
+    """md5 over the canonical ordered payload — the engine's analog of the
+    reference's ``md5(binary)`` cache key (file_format.py:109-110)."""
+    payload = F.array_join(
+        F.transform(
+            sorted_spans(spans_col),
+            lambda s: F.concat_ws(US, s["kind"], s["text"], s["media_ref"]),
+        ),
+        RS,
+    )
+    return F.md5(payload)
+
+
+def with_content_hash(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("content_hash", content_hash_col(F.col("spans")))
+
+
+def pdf_page_texts(media_pages: DataFrame) -> DataFrame:
+    """media_pages → (media_ref, pdf_text): pages joined with a blank line in
+    explicit 1-based page order (pdf_to_jpeg.py:16, easyocr.py:56)."""
+    return media_pages.groupBy("media_ref").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("page_no", "page_text")),
+                    lambda a, b: a["page_no"] - b["page_no"],
+                ),
+                lambda s: s["page_text"],
+            ),
+            PAGE_SEP,
+        ).alias("pdf_text")
+    )
+
+
+def extract_spans_flat(flat: DataFrame, media_pages: DataFrame | None) -> DataFrame:
+    """Route + extract one exploded span table.
+
+    ``flat``: (key, kind, text, media_ref, offset) where ``key`` is any
+    grouping key column named ``key`` (doc_id or content_hash).
+    Returns the same shape with extracted text.
+    """
+    kind = F.col("kind")
+
+    # HTML is the only Python path; non-html rows feed '' so the Arrow batch
+    # stays cheap for them.
+    html_in = F.when(kind == "html", F.col("text")).otherwise(F.lit(""))
+    html_out = extract_main_content_udf(html_in)
+
+    if media_pages is not None:
+        # Join pages onto pdf rows ONLY: shuffling non-pdf rows (media_ref
+        # '' — a maximally hot key) through a sort-merge join would be a
+        # textbook skew bug at scale. Split → join the small slice → union.
+        pages = pdf_page_texts(media_pages)
+        pdf_rows = flat.filter(kind == "pdf").join(pages, "media_ref", "left")
+        other_rows = flat.filter(kind != "pdf").withColumn(
+            "pdf_text", F.lit(None).cast("string")
+        )
+        flat = pdf_rows.unionByName(other_rows)
+    else:
+        flat = flat.withColumn("pdf_text", F.lit(None).cast("string"))
+
+    extracted = (
+        F.when(kind == "text", normalize_ws_col(F.col("text")))
+        .when(kind == "markdown", strip_markdown_col(F.col("text")))
+        .when(kind == "pii_text", normalize_ws_col(F.col("text")))
+        .when(kind == "html", normalize_ws_col(html_out))
+        .when(kind == "pdf", F.coalesce(F.col("pdf_text"), F.lit("")))
+        .otherwise(F.lit(""))
+    )
+
+    return flat.select(
+        "key",
+        kind.alias("kind"),
+        # the deterministic PII pass runs over ALL extracted text (north rule)
+        anonymize_col(extracted).alias("text"),
+        F.when(kind.isin(*MEDIA_KINDS), F.col("media_ref"))
+        .otherwise(F.lit(""))
+        .alias("media_ref"),
+        F.col("offset"),
+    )
+
+
+def _reassemble(flat: DataFrame, key: str) -> DataFrame:
+    return flat.groupBy(F.col("key").alias(key)).agg(
+        sorted_spans(
+            F.collect_list(F.struct("kind", "text", "media_ref", "offset"))
+        ).alias("spans")
+    )
+
+
+def run_extract_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    media_pages: DataFrame | None = None,
+    cache: DataFrame | None = None,
+    run_id: str = "run-0",
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline. Returns (results, new_cache_entries).
+
+    results: (doc_id, content_hash, spans, run_id, from_cache)
+    new_cache_entries: (content_hash, spans, run_id) — append to the cache
+    table for the next run (the reference's Redis ``set``, tasks.py:68-69).
+    """
+    docs_h = with_content_hash(docs).select("doc_id", "content_hash", "spans")
+
+    if cache is not None:
+        # The cache table may legitimately hold duplicate hashes (appends
+        # from overlapping runs/waves); probing must treat it as a KV store
+        # — exactly one value per key — or the inner join multiplies rows.
+        cache_slim = cache.select(
+            "content_hash", F.col("spans").alias("cached_spans")
+        ).dropDuplicates(["content_hash"])
+        hits = (
+            docs_h.join(cache_slim, "content_hash", "inner")
+            .select(
+                "doc_id",
+                "content_hash",
+                F.col("cached_spans").alias("spans"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(True).alias("from_cache"),
+            )
+        )
+        misses = docs_h.join(cache_slim, "content_hash", "left_anti")
+    else:
+        hits = None
+        misses = docs_h
+
+    # Compute once per distinct payload: representative row per hash.
+    reps = misses.select("content_hash", "spans").dropDuplicates(["content_hash"])
+    rep_flat = reps.select(
+        F.col("content_hash").alias("key"), F.explode("spans").alias("s")
+    ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+    rep_out = _reassemble(extract_spans_flat(rep_flat, media_pages), "content_hash")
+
+    new_cache = rep_out.select(
+        "content_hash", "spans", F.lit(run_id).alias("run_id")
+    )
+
+    computed = (
+        misses.select("doc_id", "content_hash")
+        .join(rep_out, "content_hash", "inner")
+        .select(
+            "doc_id",
+            "content_hash",
+            "spans",
+            F.lit(run_id).alias("run_id"),
+            F.lit(False).alias("from_cache"),
+        )
+    )
+
+    results = computed if hits is None else computed.unionByName(hits)
+    return results, new_cache
+
+
+def extract_flat_no_cache(
+    spark: SparkSession, docs: DataFrame, media_pages: DataFrame | None = None
+) -> DataFrame:
+    """Cache-free flat extraction (doc_id, offset, kind, text, media_ref) —
+    the shape used for oracle comparison (flat rows hash more robustly than
+    nested arrays)."""
+    flat = docs.select(
+        F.col("doc_id").alias("key"), F.explode("spans").alias("s")
+    ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
+    out = extract_spans_flat(flat, media_pages)
+    return out.select(
+        F.col("key").alias("doc_id"), "offset", "kind", "text", "media_ref"
+    )

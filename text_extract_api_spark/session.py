@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode stands in for the cluster in this sandbox; every setting here is
+chosen to survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime coalesce + skew-join splitting) — the engine's media-size
+  skew handling leans on this plus explicit salting (partitioning.py).
+- Arrow batch size bounded so one oversized media document cannot blow up a
+  Python worker (the reference bounds the same risk with Celery
+  ``worker_max_memory_per_child``, celery_app.py:20-22).
+- UTC session timezone so results compare bit-for-bit against the DuckDB
+  oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "text_extract_api_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish shuffle partitions; on a real cluster this is
+        # 2-3× total cores, set via spark-submit conf.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size: one batch of oversized media spans must fit
+        # in a Python worker (analog of the reference's worker memory cap).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,196 @@
+"""Deterministic synthesis of the interleaved-documents table.
+
+The build contract (``BASELINE.json:input_hint``) fixes the input shape:
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)``.
+No such table ships with the driver data, so we synthesize it — fully
+deterministically, with *pure DataFrame expressions* (no driver-side loops,
+no RNG) — from ``/root/testdata/sf*/documents.parquet``. Determinism is
+positional: every derived value is a function of ``(doc_id, text)`` only, so
+the same rows come out at any parallelism / partitioning, which is exactly
+what the strict span-sequence-equality invariant needs.
+
+Synthesis rules (mirrored 1:1 by the DuckDB oracle SQL in
+``__spark_entry__.py`` — keep the two in sync):
+
+- each document yields ``n = clamp(ceil(n_chars/120), 1, 6)`` spans;
+  span ``k`` covers ``substring(text, k*120+1, 120)``.
+- ``kind(k) = KIND_CYCLE[(eff_id + k) % 6]`` where ``eff_id`` redirects
+  ~5% of docs (``doc_id % 20 == 7``) to the payload of ``doc_id - 7`` —
+  giving exact duplicate payloads across distinct doc_ids, which exercises
+  the content-hash cache dedup join (the reference's Redis memoization,
+  ``extract/tasks.py:44-69``).
+- ``doc_id % 97 == 0`` docs get their text spans inflated 50× — the
+  oversized-media skew knob (north rule: salted repartitioning).
+- ``pdf`` spans carry no inline text; their "pages" live in the sidecar
+  ``media_pages`` table (1-based page order, mirroring
+  ``converters/pdf_to_jpeg.py:16``) as two halves of the chunk.
+- ``pii_text`` spans are seeded with synthetic emails / phone numbers so the
+  anonymization pass has deterministic targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import SPAN_STRUCT  # noqa: F401  (documents the target shape)
+
+KIND_CYCLE = ["text", "html", "markdown", "pdf", "image", "pii_text"]
+
+CHUNK = 120
+MAX_SPANS = 6
+DUP_MOD = 20          # doc_id % 20 == 7  →  duplicate payload of doc_id-7
+DUP_REM = 7
+OVERSIZE_MOD = 97     # doc_id % 97 == 0  →  50× inflated text spans
+OVERSIZE_REPEAT = 50
+
+# HTML template pieces (single-line; newline handling differs across SQL
+# dialects so the synthesized HTML is newline-free).
+HTML_PRE = (
+    '<html><head><title>Doc</title><style>p{margin:0}</style></head><body>'
+    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+    '<div id="sidebar"><ul><li><a href="/p1">Related one</a></li>'
+    '<li><a href="/p2">Related two</a></li></ul></div>'
+    '<article><p>'
+)
+HTML_POST = (
+    "</p></article>"
+    '<footer>Copyright 2026 Example Corp. <a href="/terms">Terms</a> '
+    '<a href="/privacy">Privacy</a></footer></body></html>'
+)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_effective_payload(docs: DataFrame) -> DataFrame:
+    """Redirect dup docs (doc_id%20==7) to the payload of doc_id-7.
+
+    Self-equi-join on a derived key; the duplicate side is a small fraction,
+    and the join key is unique on the right → no skew. At 10^12 docs this is
+    a plain sort-merge (or storage-bucketed) join.
+    """
+    partner = docs.select(
+        F.col("doc_id").alias("p_id"),
+        F.col("text").alias("p_text"),
+        F.col("n_chars").alias("p_n_chars"),
+    )
+    is_dup = (F.col("doc_id") % DUP_MOD == DUP_REM) & (F.col("doc_id") >= DUP_REM)
+    return (
+        docs.withColumn("partner_id", F.when(is_dup, F.col("doc_id") - DUP_REM))
+        .join(partner, F.col("partner_id") == F.col("p_id"), "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce("p_id", "doc_id").alias("eff_id"),
+            F.coalesce("p_text", "text").alias("text"),
+            F.coalesce("p_n_chars", "n_chars").alias("n_chars"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def synth_flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat span table: (doc_id string, offset, kind, text, media_ref).
+
+    Pure JVM expressions end-to-end (whole-stage codegen); one narrow
+    explode, no Python.
+    """
+    docs = _with_effective_payload(load_documents(spark, sf_dir))
+
+    n_spans = F.least(
+        F.lit(MAX_SPANS),
+        F.greatest(F.lit(1), F.ceil(F.col("n_chars") / F.lit(float(CHUNK)))),
+    ).cast("int")
+
+    df = docs.withColumn("k", F.explode(F.sequence(F.lit(0), n_spans - 1)))
+
+    kind = F.element_at(
+        F.array(*[F.lit(x) for x in KIND_CYCLE]),
+        (F.pmod(F.col("eff_id") + F.col("k"), F.lit(6)) + 1).cast("int"),
+    )
+    chunk = F.substring(F.col("text"), F.col("k") * CHUNK + 1, CHUNK)
+    oversized = F.col("eff_id") % OVERSIZE_MOD == 0
+
+    text_span = F.when(oversized, F.repeat(chunk, OVERSIZE_REPEAT)).otherwise(chunk)
+    html_span = F.concat(F.lit(HTML_PRE), chunk, F.lit(HTML_POST))
+    md_span = F.concat(
+        F.lit("# Section "), F.col("k").cast("string"),
+        F.lit(" "), F.char(F.lit(10)), F.char(F.lit(10)), chunk,
+    )
+    pii_span = F.concat(
+        chunk,
+        F.lit(" Contact user"), F.col("eff_id").cast("string"),
+        F.lit("@example.com or call 555-010"), F.col("k").cast("string"), F.lit("."),
+    )
+    media_ref = F.concat(
+        F.when(kind == "pdf", F.lit("pdf://")).otherwise(F.lit("img://")),
+        F.col("eff_id").cast("string"), F.lit("/"), F.col("k").cast("string"),
+    )
+
+    span_text = (
+        F.when(kind == "text", text_span)
+        .when(kind == "html", html_span)
+        .when(kind == "markdown", md_span)
+        .when(kind == "pii_text", pii_span)
+        .otherwise(F.lit(""))
+    )
+
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("k").cast("int").alias("offset"),
+        kind.alias("kind"),
+        span_text.alias("text"),
+        F.when(kind.isin("pdf", "image"), media_ref).otherwise(F.lit("")).alias("media_ref"),
+        chunk.alias("_chunk"),  # internal: media-page derivation + oracle parity
+    )
+
+
+def synth_media_pages(flat: DataFrame) -> DataFrame:
+    """Sidecar page store for pageable media (pdf): 2 half-chunk pages.
+
+    Page order is 1-based (pdf_to_jpeg.py:16). Empty second halves are
+    dropped, so page counts vary — exercising the ordered regroup.
+    """
+    pdf = flat.filter(F.col("kind") == "pdf").select(
+        "media_ref",
+        F.substring("_chunk", 1, CHUNK // 2).alias("p1"),
+        F.substring("_chunk", CHUNK // 2 + 1, CHUNK // 2).alias("p2"),
+    )
+    pages = pdf.select(
+        "media_ref",
+        F.filter(
+            F.array(
+                F.struct(F.lit(1).alias("page_no"), F.col("p1").alias("page_text")),
+                F.struct(F.lit(2).alias("page_no"), F.col("p2").alias("page_text")),
+            ),
+            lambda s: F.length(s["page_text"]) > 0,
+        ).alias("pages"),
+    )
+    return pages.select(
+        "media_ref", F.explode("pages").alias("p")
+    ).select(
+        "media_ref",
+        F.col("p.page_no").alias("page_no"),
+        F.col("p.page_text").alias("page_text"),
+        F.encode(F.col("p.page_text"), "UTF-8").alias("payload"),
+    )
+
+
+def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(docs_interleaved, media_pages) — the nested input-contract shape.
+
+    Span order inside the array is restored by sorting on the explicit
+    ``offset`` (never partition/arrival order — north-rule invariant).
+    """
+    flat = synth_flat_spans(spark, sf_dir)
+    docs = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("kind", "text", "media_ref", "offset")),
+                lambda a, b: a["offset"] - b["offset"],
+            ).alias("spans")
+        )
+    )
+    return docs, synth_media_pages(flat)
