@@ -1,38 +1,842 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline ops; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for each (the correctness gate). Column names/aliases match pairwise.
+
+The synthesized interleaved-docs table (BASELINE.json:input_hint) derives
+deterministically from ``documents.parquet``; the DuckDB oracles reproduce
+the same synthesis in SQL (see SYNTH_CTE — keep in lockstep with
+``text_extract_api_spark/synth.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from text_extract_api_spark.extractors.pii import PII_PATTERNS, TOKEN
+from text_extract_api_spark.functions.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    simhash,
+    MINHASH_SEEDS,
+    LSH_BANDS,
+    LSH_ROWS,
+    SIMHASH_BITS,
+)
+from text_extract_api_spark.functions.similarity import (
+    _dot,
+    _norm,
+    bucket_expr,
+    hyperplane_weight,
+)
+from text_extract_api_spark.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from text_extract_api_spark.pipeline import (
+    extract_flat_no_cache,
+    with_content_hash,
+)
+from text_extract_api_spark.synth import (
+    HTML_POST,
+    HTML_PRE,
+    synth_flat_spans,
+    synthesize_interleaved,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- SQL helpers
+
+EMB_DIMS = 64
+ANN_K = 20
+ANN_PLANES = 6
+JACCARD_T = 0.82
+NEARDUP_T = 0.82
+RUN_TS = "2026-01-01 00:00:00"
+
+
+def _norm_sql(e: str) -> str:
+    return f"trim(regexp_replace({e}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def _anon_sql(e: str) -> str:
+    out = e
+    for _, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '{TOKEN}', 'g')"
+    return out
+
+
+def _strip_md_sql(e: str) -> str:
+    return _norm_sql(
+        f"regexp_replace(regexp_replace({e}, '#+ *', '', 'g'), '[*_]{{1,3}}', '', 'g')"
+    )
+
+
+_HTML_PRE_LIT = HTML_PRE.replace("'", "''")
+_HTML_POST_LIT = HTML_POST.replace("'", "''")
+
+# DuckDB reproduction of synth.py (keep in lockstep).
+SYNTH_CTE = (
+    """
+eff AS (
+  SELECT d.doc_id AS raw_id,
+         CASE WHEN d.doc_id % 20 = 7 AND d.doc_id >= 7 THEN d.doc_id - 7 ELSE d.doc_id END AS eff_id,
+         COALESCE(p.text, d.text) AS text,
+         COALESCE(p.n_chars, d.n_chars) AS n_chars
+  FROM documents d
+  LEFT JOIN documents p
+    ON d.doc_id % 20 = 7 AND d.doc_id >= 7 AND p.doc_id = d.doc_id - 7
+),
+flat AS (
+  SELECT CAST(raw_id AS VARCHAR) AS doc_id,
+         eff_id,
+         CAST(t.k AS INT) AS "offset",
+         (['text','html','markdown','pdf','image','pii_text'])[CAST((eff_id + t.k) % 6 AS INT) + 1] AS kind,
+         substring(text, CAST(t.k * 120 + 1 AS INT), 120) AS chunk,
+         t.k AS k
+  FROM eff
+  CROSS JOIN UNNEST(range(LEAST(6, GREATEST(1, CAST(ceil(n_chars / 120.0) AS BIGINT))))) AS t(k)
+),
+spans AS (
+  SELECT doc_id, "offset", kind, chunk, k, eff_id,
+    CASE kind
+      WHEN 'text' THEN CASE WHEN eff_id % 97 = 0 THEN repeat(chunk, 50) ELSE chunk END
+      WHEN 'html' THEN '"""
+    + _HTML_PRE_LIT
+    + """' || chunk || '"""
+    + _HTML_POST_LIT
+    + """'
+      WHEN 'markdown' THEN '# Section ' || CAST(k AS VARCHAR) || ' ' || chr(10) || chr(10) || chunk
+      WHEN 'pii_text' THEN chunk || ' Contact user' || CAST(eff_id AS VARCHAR) || '@example.com or call 555-010' || CAST(k AS VARCHAR) || '.'
+      ELSE '' END AS text,
+    CASE WHEN kind = 'pdf'   THEN 'pdf://' || CAST(eff_id AS VARCHAR) || '/' || CAST(k AS VARCHAR)
+         WHEN kind = 'image' THEN 'img://' || CAST(eff_id AS VARCHAR) || '/' || CAST(k AS VARCHAR)
+         ELSE '' END AS media_ref
+  FROM flat
+)
+""".strip()
+)
+
+_PDF_TEXT_SQL = (
+    "CASE WHEN length(chunk) > 60 THEN substring(chunk, 1, 60) || chr(10) || chr(10) || substring(chunk, 61, 60) "
+    "WHEN length(chunk) > 0 THEN chunk ELSE '' END"
+)
+
+EXTRACT_CTE = f"""
+extracted AS (
+  SELECT doc_id, "offset", kind,
+    CASE kind
+      WHEN 'text'     THEN {_anon_sql(_norm_sql('text'))}
+      WHEN 'html'     THEN {_anon_sql(_norm_sql('chunk'))}
+      WHEN 'markdown' THEN {_anon_sql(_strip_md_sql('text'))}
+      WHEN 'pii_text' THEN {_anon_sql(_norm_sql('text'))}
+      WHEN 'pdf'      THEN {_anon_sql(_PDF_TEXT_SQL)}
+      ELSE '' END AS text,
+    CASE WHEN kind IN ('pdf','image') THEN media_ref ELSE '' END AS media_ref
+  FROM spans
+)
+""".strip()
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, s.shingle
+  FROM words
+  CROSS JOIN UNNEST(
+    list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])
+  ) AS s(shingle)
+  WHERE len(w) >= 3
+)
+""".strip()
+
+_JACCARD_TAIL = """
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= {t}
+""".strip()
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n         ".join(
+        f"min(md5('{s}:' || shingle)) AS sig_{s}" for s in range(MINHASH_SEEDS)
+    )
+    return f"sig AS (SELECT id, {aggs} FROM sh GROUP BY id)"
+
+
+def _lsh_bands_sql() -> str:
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        parts.append(f"SELECT id, {b} AS band, md5({cols}) AS band_key FROM sig")
+    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+_LSH_PAIRS_SQL = (
+    "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id"
+)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n       ".join(
+        "SUM(CASE WHEN substring(h, %d, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_%d"
+        % (b + 1, b)
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v_{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, md5(t.tok) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w
+        FROM documents WHERE length(trim(text)) > 0) words
+  CROSS JOIN UNNEST(w) AS t(tok)
+),
+agg AS (SELECT id, {votes} FROM toks GROUP BY id)
+SELECT id, {bits} AS simhash FROM agg
+""".strip()
+
+
+def _vec_dot_sql(a: str, b: str, dims: int = EMB_DIMS) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dims + 1)
+    )
+
+
+def _vec_dot_lit_sql(a: str, weights: list[float]) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * {w!r}" for i, w in enumerate(weights, start=1)
+    )
+
+
+def _plane_weights(p: int, dims: int = EMB_DIMS) -> list[float]:
+    return [hyperplane_weight(p, d) for d in range(dims)]
+
+
+def _ann_cosine_sql() -> str:
+    dot = _vec_dot_sql("e.embedding", "q.embedding")
+    ne = _vec_dot_sql("e.embedding", "e.embedding")
+    nq = _vec_dot_sql("q.embedding", "q.embedding")
+    return f"""
+SELECT e.vec_id, round(({dot}) / (sqrt({ne}) * sqrt({nq})), 4) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {ANN_K}
+""".strip()
+
+
+def _ann_lsh_sql() -> str:
+    dot = _vec_dot_sql("e.embedding", "q.embedding")
+    ne = _vec_dot_sql("e.embedding", "e.embedding")
+    nq = _vec_dot_sql("q.embedding", "q.embedding")
+    hamming_terms = []
+    for p in range(ANN_PLANES):
+        w = _plane_weights(p)
+        se = f"(({_vec_dot_lit_sql('e.embedding', w)}) >= 0)"
+        sq = f"(({_vec_dot_lit_sql('q.embedding', w)}) >= 0)"
+        hamming_terms.append(f"CASE WHEN {se} = {sq} THEN 0 ELSE 1 END")
+    hamming = " + ".join(hamming_terms)
+    return f"""
+SELECT e.vec_id, round(({dot}) / (sqrt({ne}) * sqrt({nq})), 4) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE ({hamming}) <= 1
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {ANN_K}
+""".strip()
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    lit = needle.replace("'", "''")
+    return f"CAST((length({padded}) - length(replace({padded}, '{lit}', ''))) / {len(needle)} AS INT)"
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = " + ".join(_occ_sql("padded", m) for m in markers)
+    return out
+
+
+def _lang_id_sql() -> str:
+    scores = _lang_scores_sql()
+    score_cols = ",\n       ".join(f"({v}) AS s_{k}" for k, v in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{k}" for k in scores) + ")"
+    expr = "'und'"
+    for lang in ["es", "fr", "de", "en"]:
+        expr = f"CASE WHEN s_{lang} = best AND best > 0 THEN '{lang}' ELSE {expr} END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {score_cols}
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+),
+b AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {expr} AS lang_pred FROM b
+""".strip()
+
+
+def _quality_sql() -> str:
+    sw = " + ".join(_occ_sql("padded", f" {w} ") for w in STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens, punct, alpha,
+         CASE WHEN n_tokens > 0 THEN CAST({sw} AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+         LEAST(1.0, n_chars / 500.0) AS len_score,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio
+  FROM base
+)
+SELECT doc_id,
+       round(0.4 * len_score + 0.3 * alpha_ratio
+             + 0.2 * LEAST(1.0, stopword_ratio * 5.0)
+             + 0.1 * (1.0 - LEAST(1.0, punct_ratio * 10.0)), 4) AS quality
+FROM r
+""".strip()
+
+
+# ------------------------------------------------------------- Spark queries
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_pipeline_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = synthesize_interleaved(spark, sf_dir)
+    return extract_flat_no_cache(spark, docs, media)
+
+
+def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        synth_flat_spans(spark, sf_dir)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+
+
+def _sim_cache(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+
+
+def q_cache_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("content_hash", F.md5("text"))
+    return docs.join(_sim_cache(_docs(spark, sf_dir)), "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+def q_cache_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("content_hash", F.md5("text"))
+    return docs.join(_sim_cache(_docs(spark, sf_dir)), "content_hash", "left_semi").select(
+        "doc_id", "content_hash"
+    )
+
+
+def q_dedup_exact_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    hashed = with_content_hash(docs)
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q_page_explode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 100.0)).cast("int")
+    pages = docs.withColumn("k", F.explode(F.sequence(F.lit(0), n - 1))).select(
+        "doc_id",
+        F.col("k"),
+        F.substring(F.col("text"), F.col("k") * 100 + 1, 100).alias("page"),
+    )
+    return pages.groupBy("doc_id").agg(
+        F.count("*").alias("n_pages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("k", "page")),
+                    lambda a, b: a["k"] - b["k"],
+                ),
+                lambda s: s["page"],
+            ),
+            " | ",
+        ).alias("doc_text"),
+    )
+
+
+def q_first_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 100).alias("first_page")
+    )
+
+
+def q_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = synth_flat_spans(spark, sf_dir)
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return flat.select(
+        "doc_id",
+        "offset",
+        F.coalesce(F.sum(F.length("text")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("char_start"),
+    )
+
+
+def q_transport_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.base64(F.encode("text", "UTF-8")), "[\\r\\n]", "").alias(
+            "content_b64"
+        ),
+        F.length("text").cast("int").alias("n_chars_out"),
+    )
+
+
+def q_filename_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fname = F.concat(
+        F.regexp_replace(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+            "\\.",
+            "_",
+        ),
+        F.lit(".pdf"),
+    )
+    ts = F.date_format(F.lit(RUN_TS).cast("timestamp"), "yyyyMMddHHmmss")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fname.alias("storage_filename"),
+        F.concat(F.lit("out/"), ts, F.lit("/"), fname).alias("storage_path"),
+    )
+
+
+def q_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extract_api_spark.extractors.pii import anonymize_col
+
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" Contact: john.doe@corp.example.org or +1-202-555-0147 ssn 123-45-6789."),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", anonymize_col(seeded).alias("anonymized")
+    )
+
+
+def q_json_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc_json"),
+    )
+
+
+def q_extraction_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 4
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def q_quarantine_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.filter(
+        (F.col("n_chars") < 60) | (F.length(F.trim("text")) == 0)
+    ).select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit("empty"))
+        .otherwise(F.lit("too_short"))
+        .alias("reason"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).cast("int").alias("n_tokens")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=NEARDUP_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(ANN_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    joined = emb.crossJoin(F.broadcast(q))
+    hamming = None
+    for p in range(ANN_PLANES):
+        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(EMB_DIMS)])
+        se = _dot(F.col("embedding"), w) >= 0
+        sq = _dot(F.col("q_emb"), w) >= 0
+        term = F.when(se == sq, F.lit(0)).otherwise(F.lit(1))
+        hamming = term if hamming is None else hamming + term
+    cand = joined.filter(hamming <= 1)
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(ANN_K)
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("string").alias("ts_str"),
+            F.col("session_id").cast("bigint").alias("session_id"),
+        )
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------ driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (flat span output) on sf0.001."""
+    return q_pipeline_extract_flat(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_extract_flat": q_pipeline_extract_flat,
+        "route_dispatch": q_route_dispatch,
+        "content_hash": q_content_hash,
+        "cache_anti_join": q_cache_anti_join,
+        "cache_semi_join": q_cache_semi_join,
+        "dedup_exact_payload": q_dedup_exact_payload,
+        "page_explode_concat": q_page_explode_concat,
+        "first_page": q_first_page,
+        "span_offsets": q_span_offsets,
+        "transport_projection": q_transport_projection,
+        "filename_template": q_filename_template,
+        "pii_anonymize": q_pii_anonymize,
+        "json_structuring": q_json_structuring,
+        "extraction_metrics_rollup": q_extraction_metrics_rollup,
+        "quarantine_filter": q_quarantine_filter,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_neardups": q_dedup_minhash_neardups,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "top_events_per_user": q_top_events_per_user,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly_rollup": q_events_hourly_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jaccard_full = (
+        f"WITH {_SHINGLE_CTE},\n"
+        + _JACCARD_TAIL.replace("{t}", str(JACCARD_T))
+    )
+    neardup_full = (
+        f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()},\n"
+        + "cand AS (" + _LSH_PAIRS_SQL + "),\n"
+        + """
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= """
+        + str(NEARDUP_T)
+    )
+    return {
+        "pipeline_extract_flat": f"WITH {SYNTH_CTE},\n{EXTRACT_CTE}\n"
+        'SELECT doc_id, "offset", kind, text, media_ref FROM extracted',
+        "route_dispatch": f"WITH {SYNTH_CTE}\n"
+        "SELECT kind, COUNT(*) AS n_spans FROM spans GROUP BY kind",
+        "content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "cache_anti_join": """
+SELECT d.doc_id, md5(d.text) AS content_hash FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 10 = 0 AND md5(c.text) = md5(d.text))
+""".strip(),
+        "cache_semi_join": """
+SELECT d.doc_id, md5(d.text) AS content_hash FROM documents d
+WHERE EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 10 = 0 AND md5(c.text) = md5(d.text))
+""".strip(),
+        "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"
+        """
+payloads AS (
+  SELECT doc_id,
+         md5(string_agg(kind || chr(31) || text || chr(31) || media_ref, chr(30) ORDER BY "offset")) AS content_hash
+  FROM spans GROUP BY doc_id
+)
+SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM payloads GROUP BY content_hash HAVING COUNT(*) > 1
+""".strip(),
+        "page_explode_concat": """
+SELECT doc_id, COUNT(*) AS n_pages,
+       string_agg(substring(text, CAST(t.k * 100 + 1 AS INT), 100), ' | ' ORDER BY t.k) AS doc_text
+FROM documents
+CROSS JOIN UNNEST(range(GREATEST(1, CAST(ceil(n_chars / 100.0) AS BIGINT)))) AS t(k)
+GROUP BY doc_id
+""".strip(),
+        "first_page": "SELECT doc_id, substring(text, 1, 100) AS first_page FROM documents",
+        "span_offsets": f"WITH {SYNTH_CTE}\n"
+        """
+SELECT doc_id, "offset",
+       CAST(COALESCE(SUM(length(text)) OVER (
+         PARTITION BY doc_id ORDER BY "offset"
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_start
+FROM spans
+""".strip(),
+        "transport_projection": """
+SELECT doc_id, to_base64(encode(text)) AS content_b64, CAST(length(text) AS INT) AS n_chars_out
+FROM documents
+""".strip(),
+        "filename_template": f"""
+SELECT doc_id,
+       regexp_replace('doc_' || CAST(doc_id AS VARCHAR) || '.txt', '\\.', '_', 'g') || '.pdf' AS storage_filename,
+       'out/' || strftime(TIMESTAMP '{RUN_TS}', '%Y%m%d%H%M%S') || '/' ||
+       regexp_replace('doc_' || CAST(doc_id AS VARCHAR) || '.txt', '\\.', '_', 'g') || '.pdf' AS storage_path
+FROM documents
+""".strip(),
+        "pii_anonymize": "SELECT doc_id, "
+        + _anon_sql(
+            "text || ' Contact: john.doe@corp.example.org or +1-202-555-0147 ssn 123-45-6789.'"
+        )
+        + " AS anonymized FROM documents",
+        "json_structuring": """
+SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
+FROM documents
+""".strip(),
+        "extraction_metrics_rollup": """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM documents GROUP BY lang, source
+""".strip(),
+        "quarantine_filter": """
+SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 'empty' ELSE 'too_short' END AS reason
+FROM documents WHERE n_chars < 60 OR length(trim(text)) = 0
+""".strip(),
+        "token_count": """
+SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS INT) AS n_tokens
+FROM documents
+""".strip(),
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_sql(),
+        "doc_fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+""".strip(),
+        "dedup_jaccard_pairs": jaccard_full,
+        "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",
+        "dedup_minhash_neardups": neardup_full,
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": _ann_cosine_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "tpch_q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+        "top_events_per_user": """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""".strip(),
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e
+)
+SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_str,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM s
+""".strip(),
+        "events_hourly_rollup": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""".strip(),
+    }

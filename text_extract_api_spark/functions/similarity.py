@@ -1,0 +1,99 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: one broadcast of the query
+  vector, one codegen'd map (zip_with/aggregate — no Python), one top-k.
+  At 100 TB this is a full scan but perfectly parallel; it is the recall
+  baseline every ANN variant is measured against.
+- :func:`lsh_topk` — the scale path: random-hyperplane (sign) LSH. Plane
+  weights derive from md5(plane||dim) — deterministic, no RNG, identical in
+  any engine. Probing only the query's bucket turns the scan into a
+  partition-pruned fraction ~1/2^planes; union of Hamming-1 probes trades
+  recall for scan cost.
+
+Both return (vec_id, score) with deterministic tie-breaks (score desc,
+vec_id asc) and 4-dp rounding so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 20,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def hyperplane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-0.5, 0.5): derived from the
+    first 8 hex chars of md5('{plane}:{dim}') — portable to any engine."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(1 << 32) - 0.5
+
+
+def bucket_expr(vec_col: str, n_planes: int, n_dims: int) -> F.Column:
+    """Sign-LSH bucket id as a bit string column (pure JVM arithmetic)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(n_dims)])
+        bits.append(F.when(_dot(F.col(vec_col), w) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 20,
+    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket
+    (plus Hamming-1 probe buckets when ``multiprobe``)."""
+    n_dims = len(query_vec)
+    qbits = []
+    for p in range(n_planes):
+        s = sum(hyperplane_weight(p, d) * float(query_vec[d]) for d in range(n_dims))
+        qbits.append("1" if s >= 0 else "0")
+    qb = "".join(qbits)
+    probes = {qb}
+    if multiprobe:
+        for i in range(n_planes):
+            flipped = qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :]
+            probes.add(flipped)
+
+    bucketed = embeddings.withColumn("bucket", bucket_expr(vec_col, n_planes, n_dims))
+    cand = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)

@@ -1,0 +1,98 @@
+"""Text analysis: token counting, quality scoring, language ID, fingerprints.
+
+All pure Column expressions (codegen'd, shuffle-free, scale-proof: these are
+embarrassingly parallel map ops — at 100 TB the only cost is the scan, and
+column pruning keeps that to the ``text`` column).
+
+Every expression has an exact DuckDB twin in ``__spark_entry__.oracle_sql``:
+stick to replace/length/regexp with dialect-identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS_SPLIT = "[ \\t\\r\\n]+"
+
+# language-marker stopwords (occurrence counted with padded spaces so they
+# match whole words only) — a classic cheap n-gram/stopword LID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WS_SPLIT))
+    )
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a fixed substring —
+    (len(s) - len(replace(s, n, ''))) / len(n), dialect-portable."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_scores_cols(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = _occurrences(padded, m)
+            score = c if score is None else score + c
+        out[lang] = score
+    return out
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over marker scores; ties and all-zero → 'und' (undetermined)."""
+    scores = lang_scores_cols(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # deterministic preference order on ties: en > de > fr > es
+    for lang in ["es", "fr", "de", "en"]:
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics:
+    length saturation, punctuation ratio, stopword ratio, alpha ratio.
+    Deterministic replacement for model-based quality filters."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count_col(text).cast("double")
+    punct = F.length(F.regexp_replace(text, "[^.!?,;:]", "")).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    sw = None
+    for w in STOPWORDS_EN:
+        c = _occurrences(padded, f" {w} ")
+        sw = c if sw is None else sw + c
+    stopword_ratio = F.when(n_tokens > 0, sw.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(F.lit(1.0), stopword_ratio * 5.0)
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
+    )
+    return F.round(score, 4)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 over the casefolded alphanumeric skeleton —
+    robust to whitespace/punctuation edits (cheap canonical near-dup key)."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))

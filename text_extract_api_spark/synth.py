@@ -167,13 +167,17 @@ def synth_media_pages(flat: DataFrame) -> DataFrame:
             lambda s: F.length(s["page_text"]) > 0,
         ).alias("pages"),
     )
-    return pages.select(
-        "media_ref", F.explode("pages").alias("p")
-    ).select(
-        "media_ref",
-        F.col("p.page_no").alias("page_no"),
-        F.col("p.page_text").alias("page_text"),
-        F.encode(F.col("p.page_text"), "UTF-8").alias("payload"),
+    return (
+        pages.select("media_ref", F.explode("pages").alias("p"))
+        .select(
+            "media_ref",
+            F.col("p.page_no").alias("page_no"),
+            F.col("p.page_text").alias("page_text"),
+            F.encode(F.col("p.page_text"), "UTF-8").alias("payload"),
+        )
+        # dup docs share their partner's media_ref — the media store is a KV
+        # keyed by (media_ref, page_no), so dedupe here
+        .dropDuplicates(["media_ref", "page_no"])
     )
 
 
