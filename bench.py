@@ -1,0 +1,97 @@
+"""Benchmark runner — one JSON line for the round driver.
+
+Runs the flagship extraction pipeline plus the headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "e2e_extraction_wall_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Every timing uses the noop sink so the full plan executes (count() alone
+would let Catalyst prune most of the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from text_extract_api_spark.pipeline import run_extract_pipeline
+from text_extract_api_spark.session import get_spark
+from text_extract_api_spark.synth import synthesize_interleaved
+
+HEADLINE = [
+    "pipeline_extract_flat",
+    "dedup_minhash_neardups",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "quality_score",
+    "page_explode_concat",
+    "pii_anonymize",
+    "tpch_q1_pricing_summary",
+    "events_sessionize",
+    "events_hourly_rollup",
+]
+
+
+def _time_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    # --- flagship: full pipeline incl. result write (the BASELINE metric) ---
+    out_dir = tempfile.mkdtemp(prefix="bench_out_")
+    try:
+        docs, media = synthesize_interleaved(spark, sf_dir)
+        docs = docs.persist()
+        n_docs = docs.count()  # materialize input outside the timed window
+        t0 = time.time()
+        results, _ = run_extract_pipeline(spark, docs, media, None, "bench")
+        results.write.mode("overwrite").parquet(f"{out_dir}/results")
+        e2e_sec = time.time() - t0
+        docs.unpersist()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- headline operator queries ---
+    qs = entrymod.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        per_query[name] = round(_time_noop(df), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_extraction_wall_sec",
+                "value": round(e2e_sec, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "docs": n_docs,
+                "docs_per_sec": round(n_docs / e2e_sec, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

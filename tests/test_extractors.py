@@ -1,0 +1,92 @@
+"""Golden micro-fixtures for the extractors (FIXTURES.md §5 granularity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.extractors.html import extract_main_content_py
+from text_extract_api_spark.extractors.pii import anonymize_col
+from text_extract_api_spark.extractors.text import normalize_ws_col, strip_markdown_col
+
+
+HTML_CASES = [
+    # boilerplate all stripped, main <p> kept
+    (
+        '<html><body><nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+        "<article><p>Real content here.</p></article>"
+        "<footer>Copyright 2026</footer></body></html>",
+        "Real content here.",
+    ),
+    # link-dense sidebar dropped even though <div> is not a kill tag
+    (
+        '<div><ul><li><a href="/a">one</a></li><li><a href="/b">two</a></li></ul></div>'
+        "<div><p>Body text with enough words.</p></div>",
+        "Body text with enough words.",
+    ),
+    # script/style bodies never leak
+    (
+        "<script>var x = 'leak';</script><style>p{color:red}</style><p>Kept.</p>",
+        "Kept.",
+    ),
+    # two content blocks joined with newline in document order
+    ("<p>First block.</p><p>Second block.</p>", "First block.\nSecond block."),
+    # head/title excluded
+    ("<head><title>Title leak</title></head><body><p>Body only.</p></body>", "Body only."),
+    # entity decoding
+    ("<p>a &amp; b &lt; c</p>", "a & b < c"),
+    # <br> becomes a space inside a block
+    ("<p>line one<br>line two</p>", "line one line two"),
+    # empty / malformed
+    ("", ""),
+    ("<p></p>", ""),
+    ("just bare text, no tags", "just bare text, no tags"),
+]
+
+
+@pytest.mark.parametrize("html,expected", HTML_CASES)
+def test_html_main_content(html, expected):
+    assert extract_main_content_py(html) == expected
+
+
+PII_CASES = [
+    ("mail me at bob.smith+tag@sub.example.co today", "mail me at ANONYMIZED today"),
+    ("ssn is 123-45-6789 ok", "ssn is ANONYMIZED ok"),
+    ("call +1-800-555-0912 now", "call ANONYMIZED now"),
+    ("or 415-555-0147", "or ANONYMIZED"),
+    ("short form 555-0147.", "short form ANONYMIZED."),
+    ("no pii here", "no pii here"),
+    # ssn must not be half-eaten by the phone rule
+    ("id 987-65-4321 end", "id ANONYMIZED end"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", PII_CASES)
+def test_pii_anonymize(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "t string").select(
+        anonymize_col(F.col("t")).alias("out")
+    )
+    assert df.collect()[0][0] == expected
+
+
+def test_pii_idempotent(spark):
+    raw = "x bob@example.com y 123-45-6789 z"
+    df = spark.createDataFrame([(raw,)], "t string").select(
+        anonymize_col(anonymize_col(F.col("t"))).alias("twice"),
+        anonymize_col(F.col("t")).alias("once"),
+    )
+    r = df.collect()[0]
+    assert r["twice"] == r["once"]
+
+
+def test_normalize_and_markdown(spark):
+    df = spark.createDataFrame(
+        [("  a\t\tb \n c  ", "# Title \n\nsome *bold* _text_")],
+        "t string, md string",
+    ).select(
+        normalize_ws_col(F.col("t")).alias("n"),
+        strip_markdown_col(F.col("md")).alias("m"),
+    )
+    r = df.collect()[0]
+    assert r["n"] == "a b c"
+    assert r["m"] == "Title some bold text"

@@ -1,0 +1,115 @@
+"""Unit tests for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    simhash,
+)
+from text_extract_api_spark.functions.similarity import cosine_topk, lsh_topk
+from text_extract_api_spark.functions.textstats import (
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, [(1, "aa bb"), (2, "aa bb"), (3, "cc")])
+    got = {r["content_hash"]: (r["canonical_id"], r["n_dups"]) for r in exact_dedup(df).collect()}
+    assert len(got) == 2
+    assert (1, 2) in got.values()
+    assert (3, 1) in got.values()
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = _docs(
+        spark,
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "z1 z2 z3 z4 z5")],
+    )
+    rows = jaccard_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_jaccard_short_texts_no_crash(spark):
+    df = _docs(spark, [(1, "one two"), (2, ""), (3, "a b c d")])
+    assert jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    rows = [(i, "common one two three four five six seven") for i in range(1, 4)]
+    rows += [(10, "entirely different vocabulary in this document here")]
+    df = _docs(spark, rows)
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in cands and (1, 3) in cands and (2, 3) in cands
+    verified = minhash_near_dups(df, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_identical_docs_equal_sig(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [[1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0]]
+    got = cosine_topk(_emb(spark, vecs), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    assert got[0]["score"] == 1.0
+    assert abs(got[1]["score"] - 0.9 / math.sqrt(0.82)) < 1e-3
+
+
+def test_lsh_topk_recovers_near_neighbors(spark):
+    import hashlib
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    base = detvec(0)
+    vecs = [base] + [
+        [x + 0.01 * j for x in base] for j in range(1, 4)
+    ] + [detvec(i) for i in range(10, 40)]
+    emb = _emb(spark, vecs)
+    exact = [r["vec_id"] for r in cosine_topk(emb, base, k=4).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, base, k=4, n_planes=4).collect()]
+    # near-identical vectors land in the same/adjacent buckets
+    assert set(exact[:4]) == set(approx[:4]) == {0, 1, 2, 3}
+
+
+def test_textstats_edges(spark):
+    df = spark.createDataFrame(
+        [("", ), ("   ", ), ("the cat and the dog of it", ), ("der und die der", )],
+        "text string",
+    ).select(
+        token_count_col(F.col("text")).alias("n"),
+        lang_id_col(F.col("text")).alias("lang"),
+        quality_score_col(F.col("text")).alias("q"),
+    )
+    rows = df.collect()
+    assert rows[0]["n"] == 0 and rows[1]["n"] == 0
+    assert rows[0]["lang"] == "und"
+    assert rows[2]["lang"] == "en"
+    assert rows[3]["lang"] == "de"
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
