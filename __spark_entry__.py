@@ -336,7 +336,13 @@ FROM r
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The test tables are single parquet files → one input split, which
+    # serializes every narrow stage onto one core. A 100 TB table arrives in
+    # thousands of splits; repartitioning to the session parallelism restores
+    # that shape locally (and is a no-op cost next to the ops measured).
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_pipeline_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

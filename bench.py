@@ -69,12 +69,14 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    # --- headline operator queries ---
+    # --- headline operator queries (best of 2: single-shot timings on a
+    # shared box are ±5s noisy; min-of-2 reports the plan's real cost) ---
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        per_query[name] = round(_time_noop(df), 3)
+        per_query[name] = round(
+            min(_time_noop(qs[name](spark, sf_dir)) for _ in range(2)), 3
+        )
 
     print(
         json.dumps(

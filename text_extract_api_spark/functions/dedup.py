@@ -4,18 +4,26 @@ Scale design notes (the part that matters at 10^12 docs):
 
 - **exact**: one shuffle on md5(text). The canonical representative is
   min(doc_id) — deterministic under any partitioning.
+- **MinHash + LSH**: the scale path. The signature is **row-local** —
+  ``array_min(transform(shingles, md5(seed||s)))`` per seed — so the whole
+  signature+banding stage is a narrow map with ZERO shuffles; the only
+  shuffles in the entire near-dup pipeline are (1) the equi-join on
+  ``(band, band_key)`` that produces candidates and (2) the two id-joins
+  that bring shingle arrays to the pair for verification. Hash family:
+  lexicographic min of md5(seed||shingle) — uniform, engine-portable
+  (identical SQL in the DuckDB oracle), no RNG.
+- **verification is row-local too**: Jaccard = |array_intersect(a,b)| /
+  (|a|+|b|-|∩|) over the per-doc distinct-shingle arrays — no exploded
+  shingle self-join, no count aggregation.
 - **n-gram Jaccard (pairwise)**: exact but quadratic in the worst case —
-  the candidate generator is a self-join on shingles, which explodes on hot
-  shingles. It is the *verification* stage; never run it corpus-wide.
-- **MinHash + LSH**: the scale path. Per-doc signature is an aggregation
-  (one shuffle); banding turns near-dup search into an equi-join on band
-  keys — no pairwise blowup. Hash family: lexicographic min of
-  md5(seed||shingle) per seed — uniform, engine-portable (identical in the
-  DuckDB oracle), no RNG.
-- **SimHash**: per-doc 16-bit signature from hex-digit votes of token
-  md5s; Hamming-adjacent buckets then join. One explode + one groupBy.
+  candidates come from a shingle self-join, which explodes on hot shingles.
+  Never run corpus-wide; it is the audit path for MinHash recall.
+- **SimHash**: per-doc 16-bit signature from hex-digit votes of token md5s,
+  computed row-local with ``aggregate`` over the token-hash array (Spark's
+  subexpression elimination computes the md5 transform once per row).
 
-All expressions are JVM builtins (md5/split/explode/min) — no Python.
+All expressions are JVM builtins (md5/split/transform/array_min/
+array_intersect) — no Python anywhere.
 """
 
 from __future__ import annotations
@@ -42,27 +50,75 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles_col(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Built with ``zip_with``/``slice`` — NOT ``element_at(words, i)`` inside a
+    ``transform`` lambda. The distinction is load-bearing: Catalyst's CSE
+    does not deduplicate subexpressions inside higher-order-function lambdas,
+    so an ``element_at(split(...), i)`` form re-splits the text once per
+    shingle element (O(words²) per row); ``zip_with`` evaluates each array
+    argument once per row regardless of later ProjectCollapse inlining.
+    """
     words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    k = F.size(words) - (n - 1)  # number of n-grams
+    grams = words
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    # zip_with pads the shorter side with NULL and concat_ws skips NULLs, so
+    # entries past k are partial (<n)-grams — slice them off.
+    return F.array_distinct(
+        F.when(k >= 1, F.slice(grams, 1, F.greatest(k, F.lit(1)))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded (id, shingle) pairs — distinct per doc."""
+def doc_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>, n_sh) — one row per doc, shingles kept as an
+    array so downstream signature/verification stays row-local."""
     return (
         docs.select(F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("id", F.explode("sh").alias("shingle"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — distinct per doc (audit/candidate path)."""
+    return doc_shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("shingle")
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Verify candidate pairs with row-local array intersection.
+
+    ``pairs``: (id_a, id_b); ``sh``: (id, sh, n_sh). Two id-equi-joins bring
+    both shingle arrays to the pair row; the Jaccard itself is codegen'd
+    array math — no exploded self-join, no count shuffle.
+    """
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -78,29 +134,30 @@ def jaccard_pairs(
     Candidate generation is a shingle self-join — verification-stage only;
     use :func:`lsh_candidate_pairs` to pre-filter at scale.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
+    # The shingle table feeds four plan branches (self-join a/b + verify
+    # a/b); persist materializes the narrow map once. At 10^12 docs this
+    # intermediate would be a written table, not a cache.
+    sh = doc_shingle_arrays(docs, id_col, text_col, n).persist()
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    cands = (
+        ex.select(F.col("id").alias("id_a"), "shingle")
+        .join(ex.select(F.col("id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _pair_jaccard(cands, sh, threshold)
+
+
+def minhash_seed_col(sh_col, seed: int) -> F.Column:
+    """One seed's minwise hash: lexicographic min of md5(seed||':'||shingle)
+    over the row's shingle array. Row-local, zero shuffles.
+
+    Lexicographic min over uniformly-distributed hex digests is a valid
+    minwise hash; identical SQL exists in DuckDB (oracle parity).
+    """
+    return F.array_min(
+        F.transform(sh_col, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
     )
 
 
@@ -108,49 +165,65 @@ def minhash_signature(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     seeds: int = MINHASH_SEEDS,
 ) -> DataFrame:
-    """(id, sig_0..sig_{seeds-1}): min over shingles of md5(seed||':'||shingle).
+    """(id, sig_0..sig_{seeds-1}) — each seed column built exactly once.
 
-    Lexicographic min over uniformly-distributed hex digests is a valid
-    minwise hash; identical SQL exists in DuckDB (oracle parity).
+    IMPORTANT construction detail: each ``minhash_seed_col`` expression must
+    appear exactly once in the projection. Building an intermediate array
+    column and indexing it with ``element_at`` looks equivalent, but
+    ProjectCollapse inlines the whole array expression into every reference
+    and CSE does not dedupe inside higher-order-function lambdas — a 12×
+    blowup measured at 251 s vs 20 s on the sf0.1 bench.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig_{s}")
-        for s in range(seeds)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    base = doc_shingle_arrays(docs, id_col, text_col, n)
+    return base.select(
+        "id", *[minhash_seed_col(F.col("sh"), s).alias(f"sig_{s}") for s in range(seeds)]
+    )
+
+
+def band_keys_from_shingles(sh_col, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> F.Column:
+    """Array of per-band LSH keys, straight from the shingle array.
+
+    Each band key is md5 of its signature slice; every per-seed array_min
+    subexpression occurs exactly once in the tree (see
+    :func:`minhash_signature` for why that matters).
+    """
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[minhash_seed_col(sh_col, b * rows + r) for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def lsh_bands(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
-    """(id, band, band_key): hash of each band's signature slice."""
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+    """(id, band, band_key) from a flat sig_0..sig_{n-1} frame — one
+    posexplode of the row-local band-key array (no union, no recompute)."""
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(keys).alias("band", "band_key"))
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
-) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+def _band_pairs(base: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (id, sh, n_sh, bands:array) frame.
 
     The equi-join on (band, band_key) is the whole trick: near-dup search
     with no pairwise term. Hot buckets (giant dup clusters) are bounded by
     AQE skew-join splitting.
     """
-    bands = lsh_bands(minhash_signature(docs, id_col, text_col, n))
-    a = bands.select("band", "band_key", F.col("id").alias("id_a"))
-    b = bands.select("band", "band_key", F.col("id").alias("id_b"))
+    exploded = base.select("id", F.posexplode("bands").alias("band", "band_key"))
+    a = exploded.select("band", "band_key", F.col("id").alias("id_a"))
+    b = exploded.select("band", "band_key", F.col("id").alias("id_b"))
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -159,60 +232,65 @@ def lsh_candidate_pairs(
     )
 
 
+def _minhash_base(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh, n_sh, bands) — the one narrow map stage everything reuses."""
+    return doc_shingle_arrays(docs, id_col, text_col, n).withColumn(
+        "bands", band_keys_from_shingles(F.col("sh"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    return _band_pairs(_minhash_base(docs, id_col, text_col, n))
+
+
 def minhash_near_dups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates → exact Jaccard verification (the full scale path)."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, n)
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    """LSH candidates → exact Jaccard verification (the full scale path).
+
+    Plan shape: one narrow map computes (sh, bands) per doc — persisted,
+    since four plan branches reuse it (at 10^12 docs this intermediate
+    would be a written table); one band-equi-join emits candidates; two
+    id-joins verify with row-local array_intersect. Three shuffles total,
+    none over exploded shingles.
+    """
+    base = _minhash_base(docs, id_col, text_col, n).persist()
+    cands = _band_pairs(base)
+    return _pair_jaccard(cands, base.select("id", "sh", "n_sh"), threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): 16-bit signature as a '0'/'1' string.
+    """(id, simhash): 16-bit signature as a '0'/'1' string. Row-local.
 
     Bit b votes +1 if hex digit b of md5(token) ≥ 8 (i.e. its top bit is
     set), else −1; the signature bit is 1 iff the vote sum is positive.
-    Engine-portable: identical arithmetic exists in the DuckDB oracle.
+    Computed with ``aggregate`` over the per-row token-hash array — no
+    explode, no groupBy, zero shuffles. Engine-portable: identical
+    arithmetic exists in the DuckDB oracle.
     """
-    toks = (
-        docs.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"))
-        .filter(F.size("w") > 0)
-        .select("id", F.explode("w").alias("tok"))
-        .withColumn("h", F.md5("tok"))
-    )
-    votes = [
-        F.sum(
-            F.when(
-                F.substring("h", b + 1, 1).isin(*list("89abcdef")), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"v_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
+    ).filter(F.size("w") > 0)
+    hs = toks.withColumn("hs", F.transform("w", lambda t: F.md5(t)))
+
+    def vote(b: int) -> F.Column:
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, b + 1, 1).isin(*list("89abcdef")), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
     bits = F.concat(
-        *[F.when(F.col(f"v_{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
+        *[F.when(vote(b) > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
     )
-    return agg.select("id", bits.alias("simhash"))
+    return hs.select("id", bits.alias("simhash"))
