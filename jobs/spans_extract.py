@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--input-table", default=None,
                     help="pre-built interleaved table location (skips synthesis)")
     ap.add_argument("--media-table", default=None)
+    ap.add_argument("--multiplier", type=int, default=1,
+                    help="deterministic corpus scale-up for scaling benches")
+    ap.add_argument("--inflate", type=int, default=1,
+                    help="deterministic per-document size scale-up (bench)")
     args = ap.parse_args(argv)
 
     spark = get_spark("spans_extract", master=args.master,
@@ -64,7 +68,16 @@ def main(argv: list[str] | None = None) -> dict:
         docs = read_table(spark, args.input_table)
         media = read_table(spark, args.media_table) if args.media_table else None
     else:
-        docs, media = synthesize_interleaved(spark, args.sf_dir)
+        docs, media = synthesize_interleaved(
+            spark, args.sf_dir, args.multiplier, args.inflate
+        )
+        # Synthesis is a stand-in for the Iceberg scan; materialize it so the
+        # timed window measures extraction, and so multi-action waves don't
+        # recompute the synthesis joins.
+        docs = docs.persist()
+        media = media.persist()
+        docs.count()
+        media.count()
 
     results_loc = f"{args.out}/results"
     cache_loc = f"{args.out}/cache"
@@ -89,27 +102,50 @@ def main(argv: list[str] | None = None) -> dict:
         if args.waves > 1 and wave_docs.isEmpty():
             continue
         wave_docs = repartition_by_size(wave_docs, shuffle_n)
-        results, new_cache = run_extract_pipeline(
+        results, _ = run_extract_pipeline(
             spark, wave_docs.select("doc_id", "spans", "bucket"),
             media, cache, args.run_id,
         )
-        results = results.join(
-            wave_docs.select("doc_id", "bucket"), "doc_id", "inner"
+        # bucket is a pure function of doc_id — recompute instead of joining
+        results = results.withColumn(
+            "bucket", bucket_col(F.col("doc_id"), args.n_buckets)
         )
-        results.persist()
-        n_docs = results.count()
-        n_spans = results.agg(F.sum(F.size("spans"))).collect()[0][0] or 0
-        # partition by (run_id, bucket): dynamic overwrite is then idempotent
-        # per wave AND isolated between runs
-        write_table(results, results_loc, mode="overwrite", partition_by=["run_id", "bucket"])
+        # ONE heavy action per wave: the results write. partition by
+        # (run_id, bucket): dynamic overwrite is then idempotent per wave AND
+        # isolated between runs. Cluster on bucket first so each task writes
+        # whole buckets — otherwise every task sprays a file into every
+        # bucket dir (tasks × buckets small files) and the serial driver-side
+        # commit dominates the wave.
+        write_table(
+            results.repartition(args.n_buckets, "bucket"),
+            results_loc, mode="overwrite", partition_by=["run_id", "bucket"],
+        )
+        # Cache entries, progress markers, and run metrics all derive from
+        # the *written* results (cheap columnar re-read) — not from the
+        # results lineage, which would recompute the extraction subtree per
+        # action, nor from a persisted frame, which pins executor memory.
+        written = (
+            read_table(spark, results_loc)
+            .filter(
+                (F.col("run_id") == args.run_id)
+                & (F.pmod(F.col("bucket"), F.lit(args.waves)) == wave)
+            )
+        )
+        new_cache = (
+            written.filter(~F.col("from_cache"))
+            .dropDuplicates(["content_hash"])
+            .select("content_hash", "spans", F.lit(args.run_id).alias("run_id"))
+        )
         if cache is not None:
             # keep the cache near-unique: only genuinely new hashes append
             new_cache = new_cache.join(
                 cache.select("content_hash"), "content_hash", "left_anti"
             )
         write_table(new_cache, cache_loc, mode="append")
-        write_progress(results, progress_loc, args.run_id, args.run_ts)
-        results.unpersist()
+        write_progress(written, progress_loc, args.run_id, args.run_ts)
+        n_docs, n_spans = written.agg(
+            F.count("*"), F.coalesce(F.sum(F.size("spans")), F.lit(0))
+        ).collect()[0]
         total_docs += n_docs
         total_spans += int(n_spans)
 

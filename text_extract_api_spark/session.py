@@ -28,10 +28,16 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N-ish shuffle partitions; on a real cluster this is
-        # 2-3× total cores, set via spark-submit conf.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            # fixed partitioning across parallelism levels (scaling benches:
+            # partition count must not be a hidden second variable)
+            shuffle_partitions = int(env_sp)
+        else:
+            # local[N] → N-ish shuffle partitions; on a real cluster this is
+            # 2-3× total cores, set via spark-submit conf.
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (
         SparkSession.builder.master(master)
@@ -48,6 +54,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

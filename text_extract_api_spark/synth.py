@@ -59,8 +59,43 @@ HTML_POST = (
 )
 
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def load_documents(
+    spark: SparkSession, sf_dir: str, multiplier: int = 1, inflate: int = 1
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if inflate > 1:
+        # Bench-only corpus weighting: the driver's synthetic documents are
+        # ~300 chars, far below real web documents (KB–MB); repeating the
+        # text restores a realistic per-document compute/coordination ratio
+        # for scaling measurements. Deterministic; off (1) everywhere except
+        # the scaling bench.
+        docs = docs.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), inflate), " ")
+        ).withColumn("n_chars", (F.col("n_chars") + 1) * inflate - 1)
+    if multiplier > 1:
+        # Deterministic corpus scale-up for scaling benchmarks: replica r of
+        # doc d gets id d*multiplier+r and a distinct payload (suffix ' v{r}')
+        # so content-hash dedup cannot collapse the extra work. Replica 0 is
+        # byte-identical to the original document.
+        docs = (
+            docs.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1)))
+            )
+            .select(
+                (F.col("doc_id") * multiplier + F.col("r")).alias("doc_id"),
+                F.when(F.col("r") == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("r").cast("string")))
+                .alias("text"),
+                "lang",
+                "source",
+                F.when(F.col("r") == 0, F.col("n_chars"))
+                .otherwise(
+                    F.col("n_chars") + 2 + F.length(F.col("r").cast("string"))
+                )
+                .alias("n_chars"),
+            )
+        )
+    return docs.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _with_effective_payload(docs: DataFrame) -> DataFrame:
@@ -76,9 +111,13 @@ def _with_effective_payload(docs: DataFrame) -> DataFrame:
         F.col("n_chars").alias("p_n_chars"),
     )
     is_dup = (F.col("doc_id") % DUP_MOD == DUP_REM) & (F.col("doc_id") >= DUP_REM)
+    # hint('merge'): the static planner sizes this join from the parquet
+    # file footprint, but multiplier/inflate blow the real size up 100×+ —
+    # an attempted broadcast of the full corpus OOMs. AQE downgrades the
+    # sort-merge back to broadcast at runtime when the side is truly small.
     return (
         docs.withColumn("partner_id", F.when(is_dup, F.col("doc_id") - DUP_REM))
-        .join(partner, F.col("partner_id") == F.col("p_id"), "left")
+        .join(partner.hint("merge"), F.col("partner_id") == F.col("p_id"), "left")
         .select(
             F.col("doc_id"),
             F.coalesce("p_id", "doc_id").alias("eff_id"),
@@ -90,17 +129,23 @@ def _with_effective_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def synth_flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_flat_spans(
+    spark: SparkSession, sf_dir: str, multiplier: int = 1, inflate: int = 1
+) -> DataFrame:
     """Flat span table: (doc_id string, offset, kind, text, media_ref).
 
     Pure JVM expressions end-to-end (whole-stage codegen); one narrow
     explode, no Python.
     """
-    docs = _with_effective_payload(load_documents(spark, sf_dir))
+    docs = _with_effective_payload(load_documents(spark, sf_dir, multiplier, inflate))
 
+    # inflate scales the chunk size with the inflated text so spans grow to
+    # realistic sizes (the span-count distribution is unchanged: n_chars and
+    # chunk scale together).
+    chunk_sz = CHUNK * inflate
     n_spans = F.least(
         F.lit(MAX_SPANS),
-        F.greatest(F.lit(1), F.ceil(F.col("n_chars") / F.lit(float(CHUNK)))),
+        F.greatest(F.lit(1), F.ceil(F.col("n_chars") / F.lit(float(chunk_sz)))),
     ).cast("int")
 
     df = docs.withColumn("k", F.explode(F.sequence(F.lit(0), n_spans - 1)))
@@ -109,7 +154,7 @@ def synth_flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in KIND_CYCLE]),
         (F.pmod(F.col("eff_id") + F.col("k"), F.lit(6)) + 1).cast("int"),
     )
-    chunk = F.substring(F.col("text"), F.col("k") * CHUNK + 1, CHUNK)
+    chunk = F.substring(F.col("text"), F.col("k") * chunk_sz + 1, chunk_sz)
     oversized = F.col("eff_id") % OVERSIZE_MOD == 0
 
     text_span = F.when(oversized, F.repeat(chunk, OVERSIZE_REPEAT)).otherwise(chunk)
@@ -146,7 +191,7 @@ def synth_flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_media_pages(flat: DataFrame) -> DataFrame:
+def synth_media_pages(flat: DataFrame, chunk_sz: int = CHUNK) -> DataFrame:
     """Sidecar page store for pageable media (pdf): 2 half-chunk pages.
 
     Page order is 1-based (pdf_to_jpeg.py:16). Empty second halves are
@@ -154,8 +199,8 @@ def synth_media_pages(flat: DataFrame) -> DataFrame:
     """
     pdf = flat.filter(F.col("kind") == "pdf").select(
         "media_ref",
-        F.substring("_chunk", 1, CHUNK // 2).alias("p1"),
-        F.substring("_chunk", CHUNK // 2 + 1, CHUNK // 2).alias("p2"),
+        F.substring("_chunk", 1, chunk_sz // 2).alias("p1"),
+        F.substring("_chunk", chunk_sz // 2 + 1, chunk_sz // 2).alias("p2"),
     )
     pages = pdf.select(
         "media_ref",
@@ -181,13 +226,15 @@ def synth_media_pages(flat: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def synthesize_interleaved(
+    spark: SparkSession, sf_dir: str, multiplier: int = 1, inflate: int = 1
+) -> tuple[DataFrame, DataFrame]:
     """(docs_interleaved, media_pages) — the nested input-contract shape.
 
     Span order inside the array is restored by sorting on the explicit
     ``offset`` (never partition/arrival order — north-rule invariant).
     """
-    flat = synth_flat_spans(spark, sf_dir)
+    flat = synth_flat_spans(spark, sf_dir, multiplier, inflate)
     docs = (
         flat.groupBy("doc_id")
         .agg(
@@ -197,4 +244,4 @@ def synthesize_interleaved(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
             ).alias("spans")
         )
     )
-    return docs, synth_media_pages(flat)
+    return docs, synth_media_pages(flat, CHUNK * inflate)
