@@ -32,11 +32,19 @@ from text_extract_api_spark.functions.dedup import (
     LSH_ROWS,
     SIMHASH_BITS,
 )
+from text_extract_api_spark.extractors.media import (
+    image_metadata,
+    sample_frames,
+    FRAME_EVERY_N,
+    FRAME_MAX,
+)
 from text_extract_api_spark.functions.similarity import (
     _dot,
     _norm,
     bucket_expr,
+    embedding_neardup_pairs,
     hyperplane_weight,
+    ivf_topk,
 )
 from text_extract_api_spark.functions.textstats import (
     LANG_MARKERS,
@@ -66,6 +74,10 @@ ANN_K = 20
 ANN_PLANES = 6
 JACCARD_T = 0.82
 NEARDUP_T = 0.82
+EMB_NEARDUP_T = 0.42
+EMB_NEARDUP_PLANES = 4
+IVF_STRIDE = 50
+IVF_PROBES = 2
 RUN_TS = "2026-01-01 00:00:00"
 
 
@@ -271,6 +283,118 @@ FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE ({hamming}) <= 1
 ORDER BY score DESC, e.vec_id ASC
 LIMIT {ANN_K}
+""".strip()
+
+
+def _bucket_sql(vec: str, n_planes: int) -> str:
+    """Sign-LSH bucket bit string for an embedding column (mirrors
+    similarity.bucket_expr exactly)."""
+    bits = []
+    for p in range(n_planes):
+        w = _plane_weights(p)
+        bits.append(f"CASE WHEN ({_vec_dot_lit_sql(vec, w)}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _emb_neardup_sql() -> str:
+    dot = _vec_dot_sql("a.embedding", "b.embedding")
+    na = _vec_dot_sql("a.embedding", "a.embedding")
+    nb = _vec_dot_sql("b.embedding", "b.embedding")
+    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"
+    ba = _bucket_sql("a.embedding", EMB_NEARDUP_PLANES)
+    bb = _bucket_sql("b.embedding", EMB_NEARDUP_PLANES)
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND ({ba}) = ({bb})
+WHERE {cos} >= {EMB_NEARDUP_T}
+""".strip()
+
+
+def _ann_ivf_sql() -> str:
+    cos_ec = (
+        f"round(({_vec_dot_sql('e.embedding', 'c.embedding')}) / "
+        f"(sqrt({_vec_dot_sql('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_vec_dot_sql('c.embedding', 'c.embedding')})), 4)"
+    )
+    cos_eq = (
+        f"round(({_vec_dot_sql('e.embedding', 'q.embedding')}) / "
+        f"(sqrt({_vec_dot_sql('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_vec_dot_sql('q.embedding', 'q.embedding')})), 4)"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec.replace('c.embedding', 'c.embedding')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cent_id FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ORDER BY round(({_vec_dot_sql('q.embedding', 'c.embedding')}) / (sqrt({_vec_dot_sql('q.embedding', 'q.embedding')}) * sqrt({_vec_dot_sql('c.embedding', 'c.embedding')})), 4) DESC, c.cent_id ASC
+  LIMIT {IVF_PROBES}
+)
+SELECT e.vec_id, {cos_eq} AS score
+FROM assigned e
+JOIN probes p ON e.cent_id = p.cent_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {ANN_K}
+""".strip()
+
+
+# DuckDB reproduction of synth_media_pages (keep in lockstep with synth.py).
+MEDIA_CTE = """
+pages AS (
+  SELECT media_ref, page_no, page_text FROM (
+    SELECT DISTINCT media_ref, 1 AS page_no, substring(chunk, 1, 60) AS page_text
+    FROM spans WHERE kind = 'pdf'
+    UNION ALL
+    SELECT DISTINCT media_ref, 2 AS page_no, substring(chunk, 61, 60) AS page_text
+    FROM spans WHERE kind = 'pdf'
+  ) WHERE length(page_text) > 0
+)
+""".strip()
+
+
+def _hexval_sql(h: str, i: int) -> str:
+    """Value of hex digit i (1-based) of md5-hex expression ``h``."""
+    return f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+
+
+def _media_meta_sql() -> str:
+    # corpus is pure ASCII (verified) → byte_len == char length of page_text
+    w = f"CAST(64 + ({_hexval_sql('h', 1)} * 16 + {_hexval_sql('h', 2)}) % 192 AS INT)"
+    hgt = f"CAST(64 + ({_hexval_sql('h', 3)} * 16 + {_hexval_sql('h', 4)}) % 192 AS INT)"
+    mode = (
+        f"(['RGB','L','RGBA'])[CAST({_hexval_sql('h', 5)} % 3 AS INT) + 1]"
+    )
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE},
+meta AS (
+  SELECT media_ref, CAST(page_no AS INT) AS page_no,
+         CAST(length(page_text) AS BIGINT) AS byte_len,
+         md5(page_text) AS h
+  FROM pages
+)
+SELECT media_ref, page_no, byte_len, h AS payload_md5,
+       {w} AS width, {hgt} AS height, {mode} AS mode
+FROM meta
+""".strip()
+
+
+def _media_frames_sql() -> str:
+    n = f"LEAST({FRAME_MAX}, GREATEST(1, length(page_text) // {FRAME_EVERY_N}))"
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref, CAST(page_no AS INT) AS page_no,
+       CAST(f.frame_no AS INT) AS frame_no,
+       md5(page_text || ':' || CAST(f.frame_no AS VARCHAR)) AS frame_md5
+FROM pages CROSS JOIN UNNEST(range({n})) AS f(frame_no)
 """.strip()
 
 
@@ -592,6 +716,84 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(ANN_K)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_T,
+        n_planes=EMB_NEARDUP_PLANES, n_dims=EMB_DIMS,
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        _emb(spark, sf_dir), query_id=0, k=ANN_K,
+        centroid_stride=IVF_STRIDE, n_probe=IVF_PROBES,
+    )
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = synthesize_interleaved(spark, sf_dir)
+    return media
+
+
+def q_media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_metadata(_media(spark, sf_dir))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_media(spark, sf_dir))
+
+
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # customer is the small dimension → broadcast; lineitem⋈orders shuffles
+    # on the join key once.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_str"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
@@ -687,7 +889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "media_image_metadata": q_media_image_metadata,
+        "media_frame_sample": q_media_frame_sample,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q6_revenue": q_tpch_q6_revenue,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -805,6 +1013,32 @@ FROM documents
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "dedup_embedding_cosine": _emb_neardup_sql(),
+        "media_image_metadata": _media_meta_sql(),
+        "media_frame_sample": _media_frames_sql(),
+        "tpch_q6_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip(),
+        "tpch_q3_top_orders": """
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_str, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""".strip(),
         "tpch_q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

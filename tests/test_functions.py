@@ -113,3 +113,89 @@ def test_textstats_edges(spark):
     assert rows[2]["lang"] == "en"
     assert rows[3]["lang"] == "de"
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_embedding_neardup_exact_vs_bucketed(spark):
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import embedding_neardup_pairs
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    base = detvec(0)
+    vecs = [base, [x + 0.005 for x in base]] + [detvec(i) for i in range(10, 30)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.95, exact=True).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.95, n_planes=4, n_dims=16).collect()
+    }
+    assert (0, 1) in exact
+    # bucketed is a subset of exact (it can only lose candidates, never
+    # invent pairs), and near-identical vectors share every bucket
+    assert bucketed <= exact
+    assert (0, 1) in bucketed
+
+
+def test_ivf_topk_self_hit_and_order(spark):
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import ivf_topk
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in detvec(i)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = ivf_topk(emb, query_id=0, k=5, centroid_stride=10, n_probe=2).collect()
+    # the query vector lives in its own probe cell → rank 1, cosine 1.0
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_media_stub_values_match_python(spark):
+    import hashlib
+
+    from text_extract_api_spark.extractors.media import (
+        decode_image,
+        image_metadata,
+        sample_frames,
+    )
+
+    rows = [
+        ("m://1", 1, b"hello world, this is page one"),
+        ("m://1", 2, b"page two"),
+        ("m://2", 1, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, page_no int, payload binary")
+    meta = {(r["media_ref"], r["page_no"]): r for r in image_metadata(df).collect()}
+    assert len(meta) == 3
+    for ref, page, payload in rows:
+        r = meta[(ref, page)]
+        w, h, mode = decode_image(payload)
+        assert (r["byte_len"], r["width"], r["height"], r["mode"]) == (
+            len(payload), w, h, mode,
+        )
+        assert r["payload_md5"] == hashlib.md5(payload).hexdigest()
+    frames = sample_frames(df).collect()
+    by_key = {}
+    for r in frames:
+        by_key.setdefault((r["media_ref"], r["page_no"]), []).append(r)
+    # frame count: min(8, max(1, len // 10)); fingerprints deterministic
+    assert len(by_key[("m://1", 1)]) == 2
+    assert len(by_key[("m://1", 2)]) == 1
+    assert len(by_key[("m://2", 1)]) == 1
+    f0 = sorted(by_key[("m://1", 1)], key=lambda r: r["frame_no"])[0]
+    assert f0["frame_md5"] == hashlib.md5(rows[0][2] + b":0").hexdigest()

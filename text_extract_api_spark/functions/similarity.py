@@ -70,6 +70,105 @@ def bucket_expr(vec_col: str, n_planes: int, n_dims: int) -> F.Column:
     return F.concat(*bits)
 
 
+def cosine_pair_col(a, b) -> F.Column:
+    """Cosine similarity of two array<float> columns, 4-dp rounded."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    n_dims: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cos_sim).
+
+    Default (``exact=False``) is the scale path: vectors are bucketed by
+    sign-LSH (:func:`bucket_expr`, deterministic hyperplanes) and only
+    same-bucket pairs are verified — the self-join is an equi-join on the
+    bucket key, no quadratic term. Recall is bounded by the bucket collision
+    probability ((1 - θ/π)^planes for angle θ); lower ``n_planes`` for more
+    recall at more candidate cost. ``exact=True`` is the O(n²) audit path —
+    never run corpus-wide.
+    """
+    sized = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a = sized.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = sized.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if n_dims is None:
+            n_dims = len(embeddings.select(vec_col).first()[0])
+        bucketed = sized.withColumn("bucket", bucket_expr("v", n_planes, n_dims))
+        a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine_pair_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 20,
+    centroid_stride: int = 50,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroids, probe the query's
+    ``n_probe`` nearest cells, scan only their members.
+
+    Centroids are a deterministic stride sample (``id % stride == 0``) —
+    a real deployment trains them offline with k-means; the *query-time
+    plan shape* (assignment join on a broadcast centroid table, cell-pruned
+    scan, re-rank) is identical and that is what this operator exercises.
+    At 10^12 vectors the assignment is precomputed/stored and the probe
+    prunes partitions; here both happen in one plan.
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = F.broadcast(
+        emb.filter(F.col("id") % centroid_stride == 0).select(
+            F.col("id").alias("cent_id"), F.col("v").alias("cv")
+        )
+    )
+    sim = cosine_pair_col(F.col("v"), F.col("cv"))
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(cents)
+        .withColumn("cent_sim", sim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cent_id")
+    )
+    probes = F.broadcast(
+        assigned.filter(F.col("id") == query_id)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(cents)
+        .withColumn("cent_sim", cosine_pair_col(F.col("qv"), F.col("cv")))
+        .orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id", "qv")
+    )
+    return (
+        assigned.join(probes, "cent_id")
+        .select(
+            F.col("id").alias("vec_id"),
+            cosine_pair_col(F.col("v"), F.col("qv")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 20,
     n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
