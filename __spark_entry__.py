@@ -743,6 +743,52 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir))
 
 
+OFFICE_CHUNK = 150
+
+
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX/PPTX roundtrip: build real OOXML zips from the documents table
+    (docx for even doc_ids, pptx for odd), extract through the pipeline's
+    office leg, return flat text. The oracle reproduces the expected text
+    directly from ``documents`` — whitespace normalization makes the
+    paragraph/slide concat equal to the source substring."""
+    import pandas as pd  # noqa: PLC0415
+
+    from text_extract_api_spark.extractors.office import make_docx, make_pptx
+    from text_extract_api_spark.pipeline import extract_spans_flat
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        for pdf in batches:
+            refs, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                c1, c2 = t[:OFFICE_CHUNK], t[OFFICE_CHUNK : 2 * OFFICE_CHUNK]
+                if int(i) % 2 == 0:
+                    data = make_docx([c for c in (c1, c2) if c])
+                else:
+                    data = make_pptx([[c] for c in (c1, c2) if c])
+                refs.append(f"off://{i}")
+                payloads.append(data)
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        build, "media_ref string, payload binary"
+    )
+    flat = docs.select(
+        F.col("doc_id").alias("key"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("docx"))
+        .otherwise(F.lit("pptx"))
+        .alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("off://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    out = extract_spans_flat(flat, None, blobs)
+    return out.select(F.col("key").alias("doc_id"), "kind", "text")
+
+
 def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
@@ -893,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_image_metadata": q_media_image_metadata,
         "media_frame_sample": q_media_frame_sample,
+        "office_extract": q_office_extract,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
@@ -1017,6 +1064,18 @@ FROM documents
         "dedup_embedding_cosine": _emb_neardup_sql(),
         "media_image_metadata": _media_meta_sql(),
         "media_frame_sample": _media_frames_sql(),
+        "office_extract": (
+            # the paragraph/slide join puts a break at the chunk boundary;
+            # whitespace-normalized that is a single space between chunks
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'pptx' END AS kind, "
+            + _anon_sql(
+                _norm_sql(
+                    f"substring(text, 1, {OFFICE_CHUNK}) || ' ' || "
+                    f"substring(text, {OFFICE_CHUNK + 1}, {OFFICE_CHUNK})"
+                )
+            )
+            + " AS text FROM documents"
+        ),
         "tpch_q6_revenue": """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items

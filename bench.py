@@ -31,12 +31,17 @@ HEADLINE = [
     "pipeline_extract_flat",
     "dedup_minhash_neardups",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_image_metadata",
     "quality_score",
     "page_explode_concat",
     "pii_anonymize",
     "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q6_revenue",
     "events_sessionize",
     "events_hourly_rollup",
 ]

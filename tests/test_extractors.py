@@ -90,3 +90,54 @@ def test_normalize_and_markdown(spark):
     r = df.collect()[0]
     assert r["n"] == "a b c"
     assert r["m"] == "Title some bold text"
+
+
+def test_office_docx_roundtrip(spark):
+    from text_extract_api_spark.extractors.office import (
+        extract_docx_py,
+        extract_pptx_py,
+        make_docx,
+        make_pptx,
+    )
+
+    docx = make_docx(["First paragraph.", "Second <b> & ampersand."])
+    assert extract_docx_py(docx) == "First paragraph.\nSecond <b> & ampersand."
+    pptx = make_pptx([["Slide one title", "bullet"], ["Slide two"]])
+    assert extract_pptx_py(pptx) == "Slide one title\nbullet\n\nSlide two"
+    # slide order is numeric, not lexicographic (slide10 after slide9)
+    many = make_pptx([[f"s{i}"] for i in range(1, 12)])
+    assert extract_pptx_py(many).split("\n\n") == [f"s{i}" for i in range(1, 12)]
+    # poison rows degrade to '' (quarantine semantics), never raise
+    assert extract_docx_py(b"not a zip") == ""
+    assert extract_pptx_py(b"") == ""
+    assert extract_docx_py(make_pptx([["x"]])) == ""  # wrong container
+
+
+def test_office_pipeline_leg(spark):
+    from pyspark.sql import functions as F
+
+    from text_extract_api_spark.extractors.office import make_docx, make_pptx
+    from text_extract_api_spark.pipeline import extract_spans_flat
+
+    blobs = spark.createDataFrame(
+        [
+            ("off://1", bytearray(make_docx(["hello docx world"]))),
+            ("off://2", bytearray(make_pptx([["hello pptx"], ["slides"]]))),
+        ],
+        "media_ref string, payload binary",
+    )
+    flat = spark.createDataFrame(
+        [
+            ("d1", "docx", "", "off://1", 0),
+            ("d2", "pptx", "", "off://2", 0),
+            ("d3", "docx", "", "off://missing", 0),
+            ("d4", "text", "plain  text", "", 1),
+        ],
+        "key string, kind string, text string, media_ref string, offset int",
+    )
+    rows = {r["key"]: r for r in extract_spans_flat(flat, None, blobs).collect()}
+    assert rows["d1"]["text"] == "hello docx world"
+    assert rows["d2"]["text"] == "hello pptx slides"
+    assert rows["d3"]["text"] == ""  # missing blob → empty, not error
+    assert rows["d4"]["text"] == "plain text"
+    assert rows["d1"]["media_ref"] == "off://1"  # office kinds keep media_ref

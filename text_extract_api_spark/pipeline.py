@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .extractors.html import extract_main_content_udf
+from .extractors.office import extract_docx_udf, extract_pptx_udf
 from .extractors.pii import anonymize_col
 from .extractors.text import normalize_ws_col, strip_markdown_col
 from .schema import MEDIA_KINDS
@@ -84,7 +85,11 @@ def pdf_page_texts(media_pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_spans_flat(flat: DataFrame, media_pages: DataFrame | None) -> DataFrame:
+def extract_spans_flat(
+    flat: DataFrame,
+    media_pages: DataFrame | None,
+    office_blobs: DataFrame | None = None,
+) -> DataFrame:
     """Route + extract one exploded span table.
 
     ``flat``: (key, kind, text, media_ref, offset) where ``key`` is any
@@ -123,7 +128,30 @@ def extract_spans_flat(flat: DataFrame, media_pages: DataFrame | None) -> DataFr
     else:
         pdf_leg = flat.filter(kind == "pdf").withColumn("extracted", F.lit(""))
 
-    rest_leg = flat.filter(~kind.isin("html", "pdf")).withColumn(
+    # office leg — docx/pptx payloads come from the blob store; same
+    # filtered-Python-leg shape as html (only office rows cross into Arrow).
+    office_kinds = kind.isin("docx", "pptx")
+    if office_blobs is not None:
+        office_leg = (
+            flat.filter(office_kinds)
+            .join(
+                office_blobs.select("media_ref", "payload").hint("merge"),
+                "media_ref",
+                "left",
+            )
+            .withColumn(
+                "extracted",
+                normalize_ws_col(
+                    F.when(kind == "docx", extract_docx_udf(F.col("payload")))
+                    .otherwise(extract_pptx_udf(F.col("payload")))
+                ),
+            )
+            .drop("payload")
+        )
+    else:
+        office_leg = flat.filter(office_kinds).withColumn("extracted", F.lit(""))
+
+    rest_leg = flat.filter(~kind.isin("html", "pdf", "docx", "pptx")).withColumn(
         "extracted",
         F.when(kind == "text", normalize_ws_col(F.col("text")))
         .when(kind == "markdown", strip_markdown_col(F.col("text")))
@@ -131,7 +159,11 @@ def extract_spans_flat(flat: DataFrame, media_pages: DataFrame | None) -> DataFr
         .otherwise(F.lit("")),
     )
 
-    out = html_leg.unionByName(pdf_leg).unionByName(rest_leg)
+    out = (
+        html_leg.unionByName(pdf_leg)
+        .unionByName(office_leg)
+        .unionByName(rest_leg)
+    )
     return out.select(
         "key",
         kind.alias("kind"),
@@ -158,6 +190,7 @@ def run_extract_pipeline(
     media_pages: DataFrame | None = None,
     cache: DataFrame | None = None,
     run_id: str = "run-0",
+    office_blobs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Returns (results, new_cache_entries).
 
@@ -195,7 +228,9 @@ def run_extract_pipeline(
         F.col("content_hash").alias("key"), F.explode("spans").alias("s")
     ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
 
-    rep_out = _reassemble(extract_spans_flat(rep_flat, media_pages), "content_hash")
+    rep_out = _reassemble(
+        extract_spans_flat(rep_flat, media_pages, office_blobs), "content_hash"
+    )
 
     new_cache = rep_out.select(
         "content_hash", "spans", F.lit(run_id).alias("run_id")
@@ -220,7 +255,10 @@ def run_extract_pipeline(
 
 
 def extract_flat_no_cache(
-    spark: SparkSession, docs: DataFrame, media_pages: DataFrame | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    media_pages: DataFrame | None = None,
+    office_blobs: DataFrame | None = None,
 ) -> DataFrame:
     """Cache-free flat extraction (doc_id, offset, kind, text, media_ref) —
     the shape used for oracle comparison (flat rows hash more robustly than
@@ -228,7 +266,7 @@ def extract_flat_no_cache(
     flat = docs.select(
         F.col("doc_id").alias("key"), F.explode("spans").alias("s")
     ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
-    out = extract_spans_flat(flat, media_pages)
+    out = extract_spans_flat(flat, media_pages, office_blobs)
     return out.select(
         F.col("key").alias("doc_id"), "offset", "kind", "text", "media_ref"
     )
