@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from text_extract_api_spark.extractors.pii import PII_PATTERNS, TOKEN
+from text_extract_api_spark.extractors.pii import COMBINED_PATTERN, PII_PATTERNS, TOKEN
 from text_extract_api_spark.functions.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -86,11 +86,9 @@ def _norm_sql(e: str) -> str:
 
 
 def _anon_sql(e: str) -> str:
-    out = e
-    for _, pat in PII_PATTERNS:
-        lit = pat.replace("'", "''")
-        out = f"regexp_replace({out}, '{lit}', '{TOKEN}', 'g')"
-    return out
+    lit = COMBINED_PATTERN.replace("'", "''")
+    return f"regexp_replace({e}, '{lit}', '{TOKEN}', 'g')"
+
 
 
 def _strip_md_sql(e: str) -> str:

@@ -29,17 +29,20 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+# Single alternation, precedence = list order. One pass over each string
+# instead of five chained regexp_replace passes (4 fewer intermediate string
+# materializations per span — measurable at corpus scale). Alternation is
+# leftmost-first in both Java regex (Spark) and RE2 (DuckDB), so precedence
+# at a given position matches the chained semantics; equivalence on
+# overlapping cases is covered by tests and the oracle gate.
+COMBINED_PATTERN = "(" + "|".join(pat for _, pat in PII_PATTERNS) + ")"
+
+
 def anonymize_col(c: Column) -> Column:
-    out = c
-    for _, pat in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, TOKEN)
-    return out
+    return F.regexp_replace(c, COMBINED_PATTERN, TOKEN)
 
 
 def anonymize_sql(expr: str) -> str:
-    """The identical chain as DuckDB SQL (oracle parity)."""
-    out = expr
-    for _, pat in PII_PATTERNS:
-        lit = pat.replace("\\\\", "\\").replace("'", "''")
-        out = f"regexp_replace({out}, '{lit}', '{TOKEN}', 'g')"
-    return out
+    """The identical single-pass replace as DuckDB SQL (oracle parity)."""
+    lit = COMBINED_PATTERN.replace("'", "''")
+    return f"regexp_replace({expr}, '{lit}', '{TOKEN}', 'g')"

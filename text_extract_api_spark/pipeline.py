@@ -130,10 +130,15 @@ def extract_spans_flat(
 
     # office leg — docx/pptx payloads come from the blob store; same
     # filtered-Python-leg shape as html (only office rows cross into Arrow).
-    office_kinds = kind.isin("docx", "pptx")
+    # Built ONLY when a blob store is supplied: every leg is one more
+    # consumer pass over the upstream exchange, so a corpus without office
+    # media must not pay for the leg (docx/pptx without blobs extract to ''
+    # via rest_leg's otherwise, same result).
+    legs = [html_leg, pdf_leg]
+    rest_kinds = ["html", "pdf"]
     if office_blobs is not None:
-        office_leg = (
-            flat.filter(office_kinds)
+        legs.append(
+            flat.filter(kind.isin("docx", "pptx"))
             .join(
                 office_blobs.select("media_ref", "payload").hint("merge"),
                 "media_ref",
@@ -148,22 +153,20 @@ def extract_spans_flat(
             )
             .drop("payload")
         )
-    else:
-        office_leg = flat.filter(office_kinds).withColumn("extracted", F.lit(""))
+        rest_kinds += ["docx", "pptx"]
 
-    rest_leg = flat.filter(~kind.isin("html", "pdf", "docx", "pptx")).withColumn(
+    rest_leg = flat.filter(~kind.isin(*rest_kinds)).withColumn(
         "extracted",
         F.when(kind == "text", normalize_ws_col(F.col("text")))
         .when(kind == "markdown", strip_markdown_col(F.col("text")))
         .when(kind == "pii_text", normalize_ws_col(F.col("text")))
         .otherwise(F.lit("")),
     )
+    legs.append(rest_leg)
 
-    out = (
-        html_leg.unionByName(pdf_leg)
-        .unionByName(office_leg)
-        .unionByName(rest_leg)
-    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out.select(
         "key",
         kind.alias("kind"),
