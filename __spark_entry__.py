@@ -449,7 +449,7 @@ r AS (
 SELECT doc_id,
        round(0.4 * len_score + 0.3 * alpha_ratio
              + 0.2 * LEAST(1.0, stopword_ratio * 5.0)
-             + 0.1 * (1.0 - LEAST(1.0, punct_ratio * 10.0)), 4) AS quality
+             + 0.1 * (1.0 - LEAST(1.0, punct_ratio * 10.0)) + 1e-9, 4) AS quality
 FROM r
 """.strip()
 
@@ -799,9 +799,11 @@ def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("double")
-            .alias("revenue"),
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
+                + F.lit(1e-6),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -829,9 +831,11 @@ def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("double") + F.lit(1e-6),
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -847,10 +851,16 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            # round to cents: decimal-sum-to-double casts can differ by 1 ulp
+            # between engines at corpus scale (observed at sf0.1)
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("double") + F.lit(1e-6),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*") + F.lit(1e-9), 6
+            ).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -893,7 +903,9 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") + F.lit(1e-9), 4
+            ).alias("total_value"),
         )
     )
 
@@ -1075,7 +1087,7 @@ FROM documents
             + " AS text FROM documents"
         ),
         "tpch_q6_revenue": """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) + 1e-6, 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -1085,7 +1097,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 """.strip(),
         "tpch_q3_top_orders": """
 SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_str, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) + 1e-6, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1100,8 +1112,8 @@ LIMIT 10
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) + 1e-6, 2) AS sum_disc_price,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-9, 6) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1133,7 +1145,7 @@ FROM s
         "events_hourly_rollup": """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) AS total_value
 FROM events GROUP BY 1, 2
 """.strip(),
     }

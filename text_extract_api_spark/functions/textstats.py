@@ -89,7 +89,12 @@ def quality_score_col(text: Column) -> Column:
         + F.lit(0.2) * F.least(F.lit(1.0), stopword_ratio * 5.0)
         + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
     )
-    return F.round(score, 4)
+    # +1e-9 before rounding: engines computing the composite in a slightly
+    # different expression order can land 1 ulp apart, straddling a .xxxx5
+    # rounding boundary (observed at sf0.1: 7 docs of 5000 off by 0.0001).
+    # The shared epsilon pushes both sides off the knife edge; the DuckDB
+    # oracle applies the identical epsilon.
+    return F.round(score + F.lit(1e-9), 4)
 
 
 def fingerprint_col(text: Column) -> Column:

@@ -37,7 +37,12 @@ def get_spark(
             # local[N] → N-ish shuffle partitions; on a real cluster this is
             # 2-3× total cores, set via spark-submit conf.
             n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-            shuffle_partitions = cpus if n == "*" else int(n)
+            if master.startswith("local-cluster"):
+                # local-cluster[N,cores,mem] → N×cores total slots
+                execs, cores = (int(x) for x in n.split(",")[:2])
+                shuffle_partitions = execs * cores
+            else:
+                shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (
         SparkSession.builder.master(master)
