@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from text_extract_api_spark.extractors.pii import COMBINED_PATTERN, PII_PATTERNS, TOKEN
+from text_extract_api_spark.extractors.pii import PII_PATTERNS, TOKEN, anonymize_sql
 from text_extract_api_spark.functions.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -86,8 +86,7 @@ def _norm_sql(e: str) -> str:
 
 
 def _anon_sql(e: str) -> str:
-    lit = COMBINED_PATTERN.replace("'", "''")
-    return f"regexp_replace({e}, '{lit}', '{TOKEN}', 'g')"
+    return anonymize_sql(e)
 
 
 
@@ -608,15 +607,20 @@ def q_json_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extraction_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg emitted as a half-up-rounded ×10⁴ scaled BIGINT: pure integer
+    # arithmetic is bit-identical in any engine, unlike double division +
+    # round (the two engines' divisions land 1-ulp-different doubles — the
+    # only r1 hash failure).
     return (
         _docs(spark, sf_dir)
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(
-                F.sum("n_chars").cast("double") / F.count("*"), 4
-            ).alias("avg_chars"),
+        )
+        .withColumn(
+            "avg_chars_x10k",
+            F.expr("(10000 * total_chars + (n_docs div 2)) div n_docs"),
         )
     )
 
@@ -1046,7 +1050,7 @@ FROM documents
 """.strip(),
         "extraction_metrics_rollup": """
 SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+       (10000 * SUM(n_chars) + COUNT(*) // 2) // COUNT(*) AS avg_chars_x10k
 FROM documents GROUP BY lang, source
 """.strip(),
         "quarantine_filter": """

@@ -13,6 +13,7 @@ would let Catalyst prune most of the work).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -82,6 +83,25 @@ def main() -> None:
         per_query[name] = round(
             min(_time_noop(qs[name](spark, sf_dir)) for _ in range(2)), 3
         )
+        # some operators persist() intermediates; drop them so caches don't
+        # accumulate (and distort memory pressure) across the 16-query run
+        spark.catalog.clearCache()
+
+    # per-query delta vs the most recent recorded round, so regressions are
+    # visible round-over-round (VERDICT r1 item 10)
+    delta_vs_prev: dict[str, float] = {}
+    prev_paths = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+    )
+    if prev_paths:
+        try:
+            with open(prev_paths[-1]) as f:
+                prev_q = json.load(f).get("queries", {})
+            for name, sec in per_query.items():
+                if name in prev_q and prev_q[name] > 0:
+                    delta_vs_prev[name] = round(sec / prev_q[name] - 1.0, 3)
+        except Exception:
+            pass
 
     print(
         json.dumps(
@@ -94,6 +114,7 @@ def main() -> None:
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / e2e_sec, 2),
                 "cpus": cpus,
+                "delta_vs_prev": delta_vs_prev,
             }
         )
     )

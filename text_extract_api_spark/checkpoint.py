@@ -68,7 +68,15 @@ def write_progress(
         .agg(
             F.count("*").alias("docs_done"),
             F.sum(F.size("spans")).alias("spans_done"),
-            F.sum(F.length(F.to_json(F.col("spans")))).alias("bytes_done"),
+            # chars of extracted text only — a to_json over the span array
+            # would re-serialize the whole corpus just for a progress metric
+            F.sum(
+                F.aggregate(
+                    F.col("spans"),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long"),
+                )
+            ).alias("bytes_done"),
         )
         .select(
             F.lit(run_id).alias("run_id"),

@@ -9,8 +9,10 @@ replacement token, fully reproducible, whole-stage-codegen fast.
 
 Pattern order matters: SSN before generic phone (so a phone rule never eats
 half an SSN), email first (emails contain digits/dots that later rules could
-mangle). Patterns are restricted to syntax with identical semantics in Java
-regex (Spark) and RE2 (the DuckDB oracle).
+mangle). The patterns are applied as chained global replaces in that
+priority order — see the note above ``PII_PATTERNS`` for why a single
+alternation would break the invariant. Patterns are restricted to syntax
+with identical semantics in Java regex (Spark) and RE2 (the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -19,7 +21,16 @@ from pyspark.sql import Column, functions as F
 
 TOKEN = "ANONYMIZED"
 
-# (name, regex) — applied in order.
+# (name, regex) — applied as CHAINED global replaces, in list order.
+#
+# Chained (not a single alternation) is load-bearing: a combined alternation
+# is leftmost-POSITION-first, so a later-listed short pattern matching at an
+# earlier position preempts an earlier-listed long one — e.g. in
+# '123-4567-89-1234' the short_phone '123-4567' would eat the SSN prefix and
+# leak '89-1234'. Chained replaces apply each pattern globally in priority
+# order, so the SSN is masked first ('123-4ANONYMIZED') and a phone rule can
+# never eat half an SSN. The replacement TOKEN contains no digits, so earlier
+# passes cannot create new matches for later ones.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
     ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
@@ -29,20 +40,17 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
-# Single alternation, precedence = list order. One pass over each string
-# instead of five chained regexp_replace passes (4 fewer intermediate string
-# materializations per span — measurable at corpus scale). Alternation is
-# leftmost-first in both Java regex (Spark) and RE2 (DuckDB), so precedence
-# at a given position matches the chained semantics; equivalence on
-# overlapping cases is covered by tests and the oracle gate.
-COMBINED_PATTERN = "(" + "|".join(pat for _, pat in PII_PATTERNS) + ")"
-
-
 def anonymize_col(c: Column) -> Column:
-    return F.regexp_replace(c, COMBINED_PATTERN, TOKEN)
+    out = c
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, TOKEN)
+    return out
 
 
 def anonymize_sql(expr: str) -> str:
-    """The identical single-pass replace as DuckDB SQL (oracle parity)."""
-    lit = COMBINED_PATTERN.replace("'", "''")
-    return f"regexp_replace({expr}, '{lit}', '{TOKEN}', 'g')"
+    """The identical chained replaces as DuckDB SQL (oracle parity)."""
+    out = expr
+    for _, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '{TOKEN}', 'g')"
+    return out

@@ -128,16 +128,23 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
 
     Candidate generation is a shingle self-join — verification-stage only;
     use :func:`lsh_candidate_pairs` to pre-filter at scale.
+
+    ``persist_tracker``: pass a list to receive the persisted intermediate
+    for caller-managed ``unpersist()`` after the consuming action — each
+    invocation otherwise pins another cached plan in executor memory.
     """
     # The shingle table feeds four plan branches (self-join a/b + verify
     # a/b); persist materializes the narrow map once. At 10^12 docs this
     # intermediate would be a written table, not a cache.
     sh = doc_shingle_arrays(docs, id_col, text_col, n).persist()
+    if persist_tracker is not None:
+        persist_tracker.append(sh)
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     cands = (
         ex.select(F.col("id").alias("id_a"), "shingle")
@@ -251,6 +258,7 @@ def lsh_candidate_pairs(
 def minhash_near_dups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """LSH candidates → exact Jaccard verification (the full scale path).
 
@@ -259,8 +267,13 @@ def minhash_near_dups(
     would be a written table); one band-equi-join emits candidates; two
     id-joins verify with row-local array_intersect. Three shuffles total,
     none over exploded shingles.
+
+    ``persist_tracker``: see :func:`jaccard_pairs` — pass a list for
+    caller-managed unpersist of the cached intermediate.
     """
     base = _minhash_base(docs, id_col, text_col, n).persist()
+    if persist_tracker is not None:
+        persist_tracker.append(base)
     cands = _band_pairs(base)
     return _pair_jaccard(cands, base.select("id", "sh", "n_sh"), threshold)
 

@@ -137,25 +137,25 @@ def extract_spans_flat(
     legs = [html_leg, pdf_leg]
     rest_kinds = ["html", "pdf"]
     if office_blobs is not None:
-        legs.append(
-            flat.filter(kind.isin("docx", "pptx"))
-            .join(
-                office_blobs.select("media_ref", "payload").hint("merge"),
-                "media_ref",
-                "left",
+        # One sub-leg per format, filtered BEFORE the UDF: a when/otherwise
+        # over two pandas UDFs evaluates BOTH for every row (Arrow eval runs
+        # both branches before the CASE selects), doubling Python-side
+        # zip/XML parse cost.
+        blobs = office_blobs.select("media_ref", "payload")
+        for office_kind, udf in (("docx", extract_docx_udf), ("pptx", extract_pptx_udf)):
+            legs.append(
+                flat.filter(kind == office_kind)
+                .join(blobs.hint("merge"), "media_ref", "left")
+                .withColumn("extracted", normalize_ws_col(udf(F.col("payload"))))
+                .drop("payload")
             )
-            .withColumn(
-                "extracted",
-                normalize_ws_col(
-                    F.when(kind == "docx", extract_docx_udf(F.col("payload")))
-                    .otherwise(extract_pptx_udf(F.col("payload")))
-                ),
-            )
-            .drop("payload")
-        )
         rest_kinds += ["docx", "pptx"]
 
-    rest_leg = flat.filter(~kind.isin(*rest_kinds)).withColumn(
+    # coalesce: ~isin is NULL (not false) for NULL kind — without it a
+    # NULL-kind row matches no leg and silently vanishes from the output.
+    rest_leg = flat.filter(
+        F.coalesce(~kind.isin(*rest_kinds), F.lit(True))
+    ).withColumn(
         "extracted",
         F.when(kind == "text", normalize_ws_col(F.col("text")))
         .when(kind == "markdown", strip_markdown_col(F.col("text")))

@@ -23,10 +23,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(val) -> str:
+    # Full-precision float repr: the driver's hash gate compares exact
+    # values, so any canonicalization looser than that (r1 rounded to 9 dp)
+    # makes local green fail to predict driver green.
     if val is None:
         return "<NULL>"
     if isinstance(val, float):
-        return repr(round(val, 9))
+        return repr(val)
     if isinstance(val, bytes):
         return val.hex()
     return str(val)

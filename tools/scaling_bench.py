@@ -116,22 +116,25 @@ def main() -> None:
     runs = 1 if quick else RUNS
     mult, infl = (4, 8) if quick else (MULTIPLIER, INFLATE)
 
-    # Run the two levels as back-to-back PAIRS and keep the best pair by
-    # efficiency: this box is host-shared and ambient load drifts on a
-    # minutes scale, so a per-config best-of-N can pair a quiet N-core run
-    # with a contended 4N-core run and report contention, not scaling.
-    # Paired runs see comparable ambient load.
+    # Run the two levels as back-to-back PAIRS: this box is host-shared and
+    # ambient load drifts on a minutes scale, so a per-config best-of-N can
+    # pair a quiet N-core run with a contended 4N-core run and report
+    # contention, not scaling. Paired runs see comparable ambient load.
+    # The REPORTED number is the MEDIAN pair efficiency (max-of-noisy-samples
+    # is a biased estimator that can pass the ≥0.8 gate by luck); all pairs
+    # are recorded so the full session range is visible.
     n, n4 = CORES
-    best_pair = None
+    pairs = []
     for i in range(runs):
         r_n = run_once(sf_dir, n, mult, infl)
         r_4n = run_once(sf_dir, n4, mult, infl)
         pair_eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
         print(f"pair {i}: local[{n}]={r_n['sec']}s local[{n4}]={r_4n['sec']}s eff={pair_eff:.3f}")
-        if best_pair is None or pair_eff > best_pair[0]:
-            best_pair = (pair_eff, r_n, r_4n)
-    eff, rn_best, r4n_best = best_pair
-    results = {n: rn_best, n4: r4n_best}
+        pairs.append((pair_eff, r_n, r_4n))
+    by_eff = sorted(pairs, key=lambda p: p[0])
+    eff, rn_med, r4n_med = by_eff[len(by_eff) // 2]  # median pair
+    all_effs = [round(p[0], 3) for p in pairs]
+    results = {n: rn_med, n4: r4n_med}
     t_n, t_4n = results[n]["docs_per_sec"], results[n4]["docs_per_sec"]
     work_ratio = results[n4]["task_run_core_s"] / max(1, results[n]["task_run_core_s"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -143,9 +146,13 @@ Input: interleaved-docs table synthesized deterministically from `{sf_dir}`
 (multiplier={mult}, inflate={infl} → docs={results[n]['docs']},
 spans={results[n]['spans']}, ~{infl * 120 * 4} chars/span), job =
 `jobs/spans_extract.py` (full pipeline incl. result/cache/progress writes),
-best of {runs} run(s) per config, fresh JVM each, shuffle.partitions fixed
+{runs} back-to-back N/4N pair(s), fresh JVM each, shuffle.partitions fixed
 at {SHUFFLE_PARTITIONS} for both levels. Synthesis is materialized outside
 the timed window (it stands in for the Iceberg scan).
+
+**Selection rule**: the table below shows the MEDIAN pair by efficiency
+(not the best — max-of-noisy-samples is biased). All pair efficiencies this
+session: {all_effs} (min {min(all_effs)}, max {max(all_effs)}).
 
 | parallelism | wall-clock s | docs/sec | tasks | task core-s (run/cpu) | scaling efficiency |
 |---|---|---|---|---|---|
