@@ -383,6 +383,93 @@ FROM meta
 """.strip()
 
 
+def _media_quarantine_sql() -> str:
+    # media payloads are encode(page_text) (ASCII) → md5(blob) == md5(text);
+    # pages never have empty text (synth drops them) so only the md5-slice
+    # "bit-rot" reason occurs.
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref, CAST(page_no AS INT) AS page_no, 'decode_error' AS reason
+FROM pages WHERE substring(md5(page_text), 1, 1) = 'f'
+""".strip()
+
+
+_IMG_PDF_EXPR = (
+    "'PDFSTUB:' || md5(page_text) || ':' || CAST(length(page_text) AS VARCHAR)"
+)
+
+
+def _image_to_pdf_sql() -> str:
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref, CAST(page_no AS INT) AS page_no,
+       md5({_IMG_PDF_EXPR}) AS pdf_md5,
+       CAST(length({_IMG_PDF_EXPR}) AS BIGINT) AS pdf_len
+FROM pages
+""".strip()
+
+
+def _image_unify_sql() -> str:
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref, CAST(page_no AS INT) AS page_no,
+       md5('JPEGSTUB:' || md5(page_text)) AS unified_md5,
+       CAST(length('JPEGSTUB:' || md5(page_text)) AS BIGINT) AS unified_len,
+       'RGB' AS mode
+FROM pages
+""".strip()
+
+
+def _binary_sniff_sql() -> str:
+    # Re-derives the sniff from the constructed payload prefix (string form
+    # for ASCII magics, hex marker for the true-binary JPEG/PNG magics) —
+    # the same first-hit-wins order as ingest.sniff_fmt_col. The OOXML rows
+    # (m ∈ {6,7}) are zip containers whose member-path resolution is not
+    # SQL-expressible; their expected kind follows from the construction
+    # (driver records this query as oracle-checked for the magic-byte path).
+    return """
+WITH p AS (
+  SELECT doc_id, doc_id % 9 AS m,
+    CASE doc_id % 9
+      WHEN 0 THEN '%PDF-1.7' || chr(10)
+      WHEN 3 THEN 'GIF89a'
+      WHEN 4 THEN '<!DOCTYPE html><html>'
+      WHEN 5 THEN '<HTML><BODY>'
+      WHEN 8 THEN ''
+      ELSE NULL END AS pre,
+    CASE doc_id % 9 WHEN 1 THEN 'FFD8FFE0' WHEN 2 THEN '89504E470D0A1A0A' ELSE NULL END AS binpre,
+    text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, m, binpre,
+         CASE WHEN pre IS NOT NULL THEN pre || text END AS sp
+  FROM p
+),
+f AS (
+  SELECT doc_id,
+    CASE
+      WHEN m = 6 THEN 'docx'
+      WHEN m = 7 THEN 'pptx'
+      WHEN sp IS NOT NULL AND substring(sp, 1, 4) = '%PDF' THEN 'pdf'
+      WHEN binpre = '89504E470D0A1A0A' THEN 'png'
+      WHEN binpre LIKE 'FFD8FF%' THEN 'jpeg'
+      WHEN sp IS NOT NULL AND substring(sp, 1, 4) = 'GIF8' THEN 'gif'
+      WHEN sp IS NOT NULL AND upper(substring(sp, 1, 9)) = '<!DOCTYPE' THEN 'html'
+      WHEN sp IS NOT NULL AND upper(substring(sp, 1, 5)) = '<HTML' THEN 'html'
+      ELSE 'text'
+    END AS fmt
+  FROM s
+)
+SELECT doc_id, fmt,
+       CASE WHEN fmt IN ('png', 'jpeg', 'gif') THEN 'image' ELSE fmt END AS kind
+FROM f
+""".strip()
+
+
 def _media_frames_sql() -> str:
     n = f"LEAST({FRAME_MAX}, GREATEST(1, length(page_text) // {FRAME_EVERY_N}))"
     return f"""
@@ -741,6 +828,73 @@ def q_media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_metadata(_media(spark, sf_dir))
 
 
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-media quarantine (reference: PIL verify, image.py:43-48):
+    validity verdicts from the stubbed decoder, bad rows only."""
+    from text_extract_api_spark.extractors.media import validate_images
+
+    verdicts = validate_images(_media(spark, sf_dir))
+    return verdicts.filter(~F.col("valid")).select("media_ref", "page_no", "reason")
+
+
+def q_image_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: image→PDF converter (converters/image_to_pdf.py:12-27), stub-
+    backed with a value-level oracle on the emitted bytes."""
+    from text_extract_api_spark.extractors.media import image_to_pdf
+
+    return image_to_pdf(_media(spark, sf_dir))
+
+
+def q_image_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: image unification to RGB/JPEG (image.py:38-40,52-71), stub-backed."""
+    from text_extract_api_spark.extractors.media import unify_images
+
+    return unify_images(_media(spark, sf_dir))
+
+
+def q_binary_ingest_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F3/P2: raw-bytes ingest + magic-byte format sniff
+    (file_format.py:196-211, pdf.py:32-34). Payloads synthesized from the
+    documents table with real magic prefixes (incl. true-binary JPEG/PNG
+    magics via unhex and real OOXML zips); the sniff re-derives the format
+    from the bytes alone."""
+    import pandas as pd  # noqa: PLC0415
+
+    from text_extract_api_spark.extractors.office import make_docx, make_pptx
+    from text_extract_api_spark.ingest import ingest_binary
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 9
+    enc = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(m == 0, F.concat(F.lit(b"%PDF-1.7\n"), enc))
+        .when(m == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), enc))
+        .when(m == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc))
+        .when(m == 3, F.concat(F.lit(b"GIF89a"), enc))
+        .when(m == 4, F.concat(F.lit(b"<!DOCTYPE html><html>"), enc))
+        .when(m == 5, F.concat(F.lit(b"<HTML><BODY>"), enc))
+        .otherwise(enc)
+    )
+    plain = docs.filter(~m.isin(6, 7)).select("doc_id", payload.alias("content"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(i)
+                payloads.append(
+                    make_docx([t or ""]) if int(i) % 9 == 6 else make_pptx([[t or ""]])
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": payloads})
+
+    office = (
+        docs.filter(m.isin(6, 7))
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, content binary")
+    )
+    return ingest_binary(plain.unionByName(office)).select("doc_id", "fmt", "kind")
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir))
 
@@ -953,6 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_image_metadata": q_media_image_metadata,
         "media_frame_sample": q_media_frame_sample,
+        "media_quarantine": q_media_quarantine,
+        "image_to_pdf": q_image_to_pdf,
+        "image_unify": q_image_unify,
+        "binary_ingest_sniff": q_binary_ingest_sniff,
         "office_extract": q_office_extract,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_revenue": q_tpch_q6_revenue,
@@ -1078,6 +1236,10 @@ FROM documents
         "dedup_embedding_cosine": _emb_neardup_sql(),
         "media_image_metadata": _media_meta_sql(),
         "media_frame_sample": _media_frames_sql(),
+        "media_quarantine": _media_quarantine_sql(),
+        "image_to_pdf": _image_to_pdf_sql(),
+        "image_unify": _image_unify_sql(),
+        "binary_ingest_sniff": _binary_sniff_sql(),
         "office_extract": (
             # the paragraph/slide join puts a break at the chunk boundary;
             # whitespace-normalized that is a single space between chunks

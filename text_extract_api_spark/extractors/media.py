@@ -72,6 +72,124 @@ def image_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+VALIDITY_SCHEMA = "media_ref string, page_no int, valid boolean, reason string"
+
+# Deterministic "corrupt payload" predicate for the validity stub: a real
+# deployment calls PIL ``Image.open(...).verify()`` here (reference:
+# image.py:43-48 — raises on broken images). The stub declares a payload
+# invalid when it is empty or when its md5 falls in a fixed 1/16 slice of
+# the hash space ("bit-rot"), so corrupt rows exist deterministically at any
+# scale and the DuckDB oracle reproduces the same verdicts.
+CORRUPT_MD5_PREFIX = "f"
+
+
+def verify_image(payload: bytes) -> tuple[bool, str]:
+    """STUB for PIL ``verify()``: (valid, reason). reason ∈
+    {'', 'empty_payload', 'decode_error'}."""
+    if not payload:
+        return False, "empty_payload"
+    if hashlib.md5(payload).hexdigest().startswith(CORRUPT_MD5_PREFIX):
+        return False, "decode_error"
+    return True, ""
+
+
+def validate_images(df: DataFrame) -> DataFrame:
+    """(media_ref, page_no, payload) → per-row validity verdicts.
+
+    The quarantine predicate of the media leg (reference raises inside the
+    Image class, image.py:43-48; the engine filters bad rows to a
+    quarantine sink instead — same observable split, no task failure).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            verdicts = payloads.map(verify_image)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "valid": verdicts.map(lambda v: v[0]),
+                    "reason": verdicts.map(lambda v: v[1]),
+                }
+            )
+
+    return df.select("media_ref", "page_no", "payload").mapInPandas(
+        op, VALIDITY_SCHEMA
+    )
+
+
+IMG_TO_PDF_SCHEMA = "media_ref string, page_no int, pdf_md5 string, pdf_len long"
+
+
+def img_to_pdf_bytes(payload: bytes) -> bytes:
+    """STUB for the image→PDF converter (reference:
+    converters/image_to_pdf.py:12-27 — PIL re-save as 1-page PDF). The fake
+    emits ASCII bytes derived from the payload so the DuckDB oracle can
+    reproduce the exact output hash; a real deployment swaps this one
+    function for the PIL call."""
+    p = payload or b""
+    return f"PDFSTUB:{hashlib.md5(p).hexdigest()}:{len(p)}".encode()
+
+
+def image_to_pdf(df: DataFrame) -> DataFrame:
+    """(media_ref, page_no, payload) → converted-PDF fingerprint per row
+    (C3). Same filtered-Arrow-leg shape as :func:`image_metadata`."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            outs = payloads.map(img_to_pdf_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "pdf_md5": outs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "pdf_len": outs.map(len).astype("int64"),
+                }
+            )
+
+    return df.select("media_ref", "page_no", "payload").mapInPandas(
+        op, IMG_TO_PDF_SCHEMA
+    )
+
+
+IMG_UNIFY_SCHEMA = (
+    "media_ref string, page_no int, unified_md5 string, unified_len long, mode string"
+)
+
+
+def unify_image_bytes(payload: bytes) -> bytes:
+    """STUB for image unification to RGB/JPEG (reference:
+    image.py:38-40,52-71 — any mode/format → RGB JPEG before OCR). ASCII
+    output derived from the payload, oracle-reproducible."""
+    p = payload or b""
+    return f"JPEGSTUB:{hashlib.md5(p).hexdigest()}".encode()
+
+
+def unify_images(df: DataFrame) -> DataFrame:
+    """(media_ref, page_no, payload) → unified-image fingerprint, mode
+    always 'RGB' (C4 — the reference's OCR pre-normalization)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            outs = payloads.map(unify_image_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "unified_md5": outs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "unified_len": outs.map(len).astype("int64"),
+                    "mode": "RGB",
+                }
+            )
+
+    return df.select("media_ref", "page_no", "payload").mapInPandas(
+        op, IMG_UNIFY_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = "media_ref string, page_no int, frame_no int, frame_md5 string"
 
 FRAME_EVERY_N = 10
