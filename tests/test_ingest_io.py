@@ -1,0 +1,133 @@
+"""Binary ingest (S1/S3/F3/P2), media validity (P3), storage list/delete (S6)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.extractors.media import (
+    img_to_pdf_bytes,
+    unify_image_bytes,
+    validate_images,
+    verify_image,
+)
+from text_extract_api_spark.extractors.office import make_docx, make_pptx
+from text_extract_api_spark.ingest import (
+    ingest_binary,
+    is_pdf_col,
+    read_binary_files,
+    sniff_fmt_col,
+)
+from text_extract_api_spark.io import delete_table, list_tables, write_table
+
+
+def test_read_binary_files_and_sniff(spark, tmp_path):
+    """The reference's front door: raw files on disk → typed rows
+    (file_format.py:62-71,196-211)."""
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.7\nhello")
+    (tmp_path / "b.png").write_bytes(bytes.fromhex("89504E470D0A1A0A") + b"x")
+    (tmp_path / "c.html").write_bytes(b"<!doctype html><html>hi</html>")
+    (tmp_path / "d.docx").write_bytes(make_docx(["para"]))
+    (tmp_path / "e.txt").write_bytes(b"just words")
+
+    df = ingest_binary(read_binary_files(spark, str(tmp_path)))
+    got = {
+        os.path.basename(r["path"]): (r["fmt"], r["kind"])
+        for r in df.select("path", "fmt", "kind").collect()
+    }
+    assert got == {
+        "a.pdf": ("pdf", "pdf"),
+        "b.png": ("png", "image"),
+        "c.html": ("html", "html"),
+        "d.docx": ("docx", "docx"),
+        "e.txt": ("text", "text"),
+    }
+
+
+def test_sniff_magic_priority_and_pdf_predicate(spark):
+    rows = [
+        ("pdf", b"%PDF-1.4"),
+        ("jpeg", b"\xff\xd8\xff\xe1exif"),
+        ("gif", b"GIF87a"),
+        ("zip_corrupt", b"PK\x03\x04 not really"),
+        ("pptx", make_pptx([["s"]])),
+        ("html_upper", b"<HTML><BODY>"),
+        ("text", b"GIF not at start? no: plain"),
+    ]
+    df = spark.createDataFrame(rows, "tag string, content binary")
+    out = ingest_binary(df)
+    got = {r["tag"]: (r["fmt"], r["kind"]) for r in out.collect()}
+    assert got["pdf"] == ("pdf", "pdf")
+    assert got["jpeg"] == ("jpeg", "image")
+    assert got["gif"] == ("gif", "image")
+    # unparseable PK container stays a generic zip
+    assert got["zip_corrupt"] == ("zip", "zip")
+    assert got["pptx"] == ("pptx", "pptx")
+    assert got["html_upper"] == ("html", "html")
+    assert got["text"] == ("text", "text")
+
+    pdf_flags = {
+        r["tag"]: r["is_pdf"]
+        for r in df.select("tag", is_pdf_col(F.col("content")).alias("is_pdf")).collect()
+    }
+    assert pdf_flags["pdf"] and not pdf_flags["jpeg"]
+
+
+def test_sniff_is_pure_codegen(spark):
+    """The magic-prefix sniff must not cross into Python (S3 'cheap path')."""
+    df = spark.createDataFrame([("a", b"%PDF-x")], "tag string, content binary")
+    plan = df.select(sniff_fmt_col(F.col("content")))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_verify_image_stub_deterministic():
+    ok, reason = verify_image(b"")
+    assert (ok, reason) == (False, "empty_payload")
+    # md5(b'corrupt-me-f...') — find a payload in the corrupt slice
+    import hashlib
+
+    payload = next(
+        bytes([i]) + b"x" for i in range(256)
+        if hashlib.md5(bytes([i]) + b"x").hexdigest().startswith("f")
+    )
+    assert verify_image(payload) == (False, "decode_error")
+    good = b"this payload hashes elsewhere"
+    assert hashlib.md5(good).hexdigest()[0] != "f"
+    assert verify_image(good) == (True, "")
+
+
+def test_validate_images_quarantine_split(spark):
+    rows = [
+        ("m1", 1, b""),  # empty → quarantined
+        ("m2", 1, b"healthy payload q"),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, page_no int, payload binary")
+    got = {r["media_ref"]: r for r in validate_images(df).collect()}
+    assert got["m1"]["valid"] is False and got["m1"]["reason"] == "empty_payload"
+    import hashlib
+
+    expect_valid = not hashlib.md5(b"healthy payload q").hexdigest().startswith("f")
+    assert got["m2"]["valid"] is expect_valid
+
+
+def test_converter_stubs_roundtrip():
+    p = b"some image bytes"
+    import hashlib
+
+    pdf = img_to_pdf_bytes(p)
+    assert pdf.startswith(b"PDFSTUB:") and hashlib.md5(p).hexdigest().encode() in pdf
+    uni = unify_image_bytes(p)
+    assert uni.startswith(b"JPEGSTUB:")
+
+
+def test_storage_list_delete(spark, tmp_path):
+    base = str(tmp_path / "warehouse")
+    df = spark.range(5).select(F.col("id"))
+    write_table(df, f"{base}/t1", mode="overwrite")
+    write_table(df, f"{base}/t2", mode="overwrite")
+    assert list_tables(spark, base) == ["t1", "t2"]
+    assert delete_table(spark, f"{base}/t1") is True
+    assert list_tables(spark, base) == ["t2"]
+    assert delete_table(spark, f"{base}/t1") is False  # already gone
+    assert list_tables(spark, str(tmp_path / "missing")) == []

@@ -49,3 +49,50 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
     if "://" not in location and "." in location.split("/")[-1] and iceberg_available(spark):
         return spark.read.table(location)
     return spark.read.parquet(location)
+
+
+def _is_table_ident(spark: SparkSession, location: str) -> bool:
+    return (
+        "://" not in location
+        and "." in location.split("/")[-1]
+        and iceberg_available(spark)
+    )
+
+
+def list_tables(spark: SparkSession, base: str) -> list[str]:
+    """List stored tables under a namespace/directory — the engine analog of
+    the reference's per-backend ``list`` (storage_manager.py:37-44,
+    local_filesystem.py:42-50 glob / aws_s3.py list_objects).
+
+    ``base`` is an Iceberg namespace (``cat.db``) or a filesystem directory
+    (fallback: immediate subdirectories holding parquet data)."""
+    if "://" not in base and "/" not in base and iceberg_available(spark):
+        return [r.tableName for r in spark.sql(f"SHOW TABLES IN {base}").collect()]
+    import os
+
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        name
+        for name in os.listdir(base)
+        if os.path.isdir(os.path.join(base, name))
+    )
+
+
+def delete_table(spark: SparkSession, location: str) -> bool:
+    """Drop a stored table — the analog of per-backend ``delete``
+    (storage_manager.py:37-44, local_filesystem.py:52-58 unlink /
+    aws_s3.py delete_object). Returns True if something was removed.
+
+    Iceberg path: ``DROP TABLE``; fallback: recursive directory removal
+    (parquet tables are directories)."""
+    if _is_table_ident(spark, location):
+        spark.sql(f"DROP TABLE IF EXISTS {location}")
+        return True
+    import shutil
+    import os
+
+    if os.path.isdir(location):
+        shutil.rmtree(location)
+        return True
+    return False

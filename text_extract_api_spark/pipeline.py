@@ -33,10 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .extractors.html import extract_main_content_udf
-from .extractors.office import extract_docx_udf, extract_pptx_udf
 from .extractors.pii import anonymize_col
-from .extractors.text import normalize_ws_col, strip_markdown_col
 from .schema import MEDIA_KINDS
 
 # Canonical payload separators (unit / record) for content hashing.
@@ -68,7 +65,7 @@ def with_content_hash(docs: DataFrame) -> DataFrame:
     return docs.withColumn("content_hash", content_hash_col(F.col("spans")))
 
 
-def pdf_page_texts(media_pages: DataFrame) -> DataFrame:
+def pdf_page_texts(media_pages: DataFrame, page_sep: str | None = None) -> DataFrame:
     """media_pages → (media_ref, pdf_text): pages joined with a blank line in
     explicit 1-based page order (pdf_to_jpeg.py:16, easyocr.py:56)."""
     return media_pages.groupBy("media_ref").agg(
@@ -80,7 +77,7 @@ def pdf_page_texts(media_pages: DataFrame) -> DataFrame:
                 ),
                 lambda s: s["page_text"],
             ),
-            PAGE_SEP,
+            page_sep or PAGE_SEP,
         ).alias("pdf_text")
     )
 
@@ -89,80 +86,69 @@ def extract_spans_flat(
     flat: DataFrame,
     media_pages: DataFrame | None,
     office_blobs: DataFrame | None = None,
+    registry=None,
 ) -> DataFrame:
-    """Route + extract one exploded span table.
+    """Route + extract one exploded span table — registry-driven dispatch.
 
     ``flat``: (key, kind, text, media_ref, offset) where ``key`` is any
     grouping key column named ``key`` (doc_id or content_hash).
     Returns the same shape with extracted text.
 
+    Strategies come from the registry (``conf/strategies.yaml`` +
+    autodiscovery — the reference's YAML registry, strategy.py:73-139);
+    passing ``registry`` overrides per-call (register/override API, U4).
     Routing is split-per-leg, not a CASE over all rows:
 
-    - **html leg** — the only Python path. Filtered FIRST so only html rows
-      cross the Arrow boundary: feeding '' for non-html rows still ships
-      every row to the Python workers, measured 2-5× slower on the sf0.1
-      bench and it *anti-scaled* with worker count (9.7 s at 32 cores vs
-      5.7 s at 8; filtered: 2.0 s).
-    - **pdf leg** — page-store join on the pdf slice only: shuffling
-      non-pdf rows (media_ref '' — a maximally hot key) through the join
-      would be a textbook skew bug at scale.
-    - **rest** — pure JVM when-chain, whole-stage codegen.
+    - each **leg_fn strategy** (html, pdf, docx, pptx) gets its own leg over
+      only its kinds' rows. For the Python legs that filtering is
+      load-bearing: feeding '' for non-matching rows still ships every row
+      across the Arrow boundary, measured 2-5× slower on the sf0.1 bench and
+      it *anti-scaled* with worker count (9.7 s at 32 cores vs 5.7 s at 8;
+      filtered: 2.0 s). For the pdf join leg it avoids shuffling non-pdf
+      rows (media_ref '' — a maximally hot key) through the join — a
+      textbook skew bug at scale. A leg_fn may decline (return None, e.g. no
+      office blob store supplied) — its kinds then fall to the default leg:
+      a corpus without office media must not pay an extra consumer pass over
+      the upstream exchange.
+    - all **column_fn strategies** (text, markdown, pii_text) fuse into ONE
+      pure-JVM when-chain leg, whole-stage codegen, unclaimed kinds → ''.
 
-    The three legs reunion with ``unionByName``; per-span order is carried
-    by the explicit ``offset`` so the union order is irrelevant.
+    The legs reunion with ``unionByName``; per-span order is carried by the
+    explicit ``offset`` so the union order is irrelevant.
     """
+    if registry is None:
+        from .registry import default_registry
+
+        registry = default_registry()
+
     kind = F.col("kind")
+    ctx = {"media_pages": media_pages, "office_blobs": office_blobs}
 
-    html_leg = flat.filter(kind == "html").withColumn(
-        "extracted", normalize_ws_col(extract_main_content_udf(F.col("text")))
-    )
+    legs: list[DataFrame] = []
+    claimed: list[str] = []
+    column_strategies = []
+    for strat in registry.strategies():
+        if strat.leg_fn is not None:
+            leg = strat.leg_fn(flat.filter(kind.isin(*strat.kinds)), ctx, strat.config)
+            if leg is not None:
+                legs.append(leg)
+                claimed.extend(strat.kinds)
+        else:
+            column_strategies.append(strat)
 
-    if media_pages is not None:
-        pages = pdf_page_texts(media_pages)
-        pdf_leg = (
-            flat.filter(kind == "pdf")
-            .join(pages.hint("merge"), "media_ref", "left")
-            .withColumn("extracted", F.coalesce(F.col("pdf_text"), F.lit("")))
-            .drop("pdf_text")
-        )
-    else:
-        pdf_leg = flat.filter(kind == "pdf").withColumn("extracted", F.lit(""))
-
-    # office leg — docx/pptx payloads come from the blob store; same
-    # filtered-Python-leg shape as html (only office rows cross into Arrow).
-    # Built ONLY when a blob store is supplied: every leg is one more
-    # consumer pass over the upstream exchange, so a corpus without office
-    # media must not pay for the leg (docx/pptx without blobs extract to ''
-    # via rest_leg's otherwise, same result).
-    legs = [html_leg, pdf_leg]
-    rest_kinds = ["html", "pdf"]
-    if office_blobs is not None:
-        # One sub-leg per format, filtered BEFORE the UDF: a when/otherwise
-        # over two pandas UDFs evaluates BOTH for every row (Arrow eval runs
-        # both branches before the CASE selects), doubling Python-side
-        # zip/XML parse cost.
-        blobs = office_blobs.select("media_ref", "payload")
-        for office_kind, udf in (("docx", extract_docx_udf), ("pptx", extract_pptx_udf)):
-            legs.append(
-                flat.filter(kind == office_kind)
-                .join(blobs.hint("merge"), "media_ref", "left")
-                .withColumn("extracted", normalize_ws_col(udf(F.col("payload"))))
-                .drop("payload")
-            )
-        rest_kinds += ["docx", "pptx"]
+    expr = None
+    for strat in column_strategies:
+        cond = kind.isin(*strat.kinds)
+        col = strat.column_fn(F.col("text"), strat.config)
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    expr = expr.otherwise(F.lit("")) if expr is not None else F.lit("")
 
     # coalesce: ~isin is NULL (not false) for NULL kind — without it a
     # NULL-kind row matches no leg and silently vanishes from the output.
-    rest_leg = flat.filter(
-        F.coalesce(~kind.isin(*rest_kinds), F.lit(True))
-    ).withColumn(
-        "extracted",
-        F.when(kind == "text", normalize_ws_col(F.col("text")))
-        .when(kind == "markdown", strip_markdown_col(F.col("text")))
-        .when(kind == "pii_text", normalize_ws_col(F.col("text")))
-        .otherwise(F.lit("")),
+    not_claimed = (
+        F.coalesce(~kind.isin(*claimed), F.lit(True)) if claimed else F.lit(True)
     )
-    legs.append(rest_leg)
+    legs.append(flat.filter(not_claimed).withColumn("extracted", expr))
 
     out = legs[0]
     for leg in legs[1:]:
@@ -194,6 +180,7 @@ def run_extract_pipeline(
     cache: DataFrame | None = None,
     run_id: str = "run-0",
     office_blobs: DataFrame | None = None,
+    registry=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Returns (results, new_cache_entries).
 
@@ -232,7 +219,8 @@ def run_extract_pipeline(
     ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
 
     rep_out = _reassemble(
-        extract_spans_flat(rep_flat, media_pages, office_blobs), "content_hash"
+        extract_spans_flat(rep_flat, media_pages, office_blobs, registry),
+        "content_hash",
     )
 
     new_cache = rep_out.select(
@@ -262,6 +250,7 @@ def extract_flat_no_cache(
     docs: DataFrame,
     media_pages: DataFrame | None = None,
     office_blobs: DataFrame | None = None,
+    registry=None,
 ) -> DataFrame:
     """Cache-free flat extraction (doc_id, offset, kind, text, media_ref) —
     the shape used for oracle comparison (flat rows hash more robustly than
@@ -269,7 +258,7 @@ def extract_flat_no_cache(
     flat = docs.select(
         F.col("doc_id").alias("key"), F.explode("spans").alias("s")
     ).select("key", "s.kind", "s.text", "s.media_ref", "s.offset")
-    out = extract_spans_flat(flat, media_pages, office_blobs)
+    out = extract_spans_flat(flat, media_pages, office_blobs, registry)
     return out.select(
         F.col("key").alias("doc_id"), "offset", "kind", "text", "media_ref"
     )
