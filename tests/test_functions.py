@@ -199,3 +199,69 @@ def test_media_stub_values_match_python(spark):
     assert len(by_key[("m://2", 1)]) == 1
     f0 = sorted(by_key[("m://1", 1)], key=lambda r: r["frame_no"])[0]
     assert f0["frame_md5"] == hashlib.md5(rows[0][2] + b":0").hexdigest()
+
+
+def test_embedding_neardup_multiband_recall(spark):
+    """Multi-band OR candidates ⊇ any single band's candidates (recall is
+    monotone in n_bands), and n_dims is required on the bucketed path."""
+    import hashlib
+
+    import pytest
+
+    from text_extract_api_spark.functions.similarity import embedding_neardup_pairs
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    vecs = [detvec(i) for i in range(30)]
+    vecs.append([x + 0.004 for x in vecs[5]])  # near-dup of id 5 → id 30
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    one_band = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.9, n_planes=4, n_dims=16, n_bands=1).collect()
+    }
+    two_band = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.9, n_planes=4, n_dims=16, n_bands=2).collect()
+    }
+    assert one_band <= two_band
+    assert (5, 30) in two_band
+
+    with pytest.raises(ValueError, match="n_dims is required"):
+        embedding_neardup_pairs(emb, 0.9, n_planes=4)
+
+
+def test_lsh_topk_stored_prunes_partitions(spark, tmp_path):
+    """The stored-bucket ANN path must prune at the partition level: probes
+    appear in PartitionFilters and non-probed buckets are never read."""
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import (
+        build_bucket_store,
+        lsh_topk,
+        lsh_topk_stored,
+    )
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    vecs = [detvec(i) for i in range(40)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "bucket_store")
+    build_bucket_store(emb, store, n_planes=4, n_dims=16)
+
+    q = vecs[0]
+    stored = lsh_topk_stored(spark, store, q, k=5, n_planes=4)
+    live = lsh_topk(emb, q, k=5, n_planes=4)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in live.collect()]
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan and "bucket" in plan

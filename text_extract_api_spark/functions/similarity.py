@@ -61,13 +61,30 @@ def hyperplane_weight(plane: int, dim: int) -> float:
     return int(h, 16) / float(1 << 32) - 0.5
 
 
-def bucket_expr(vec_col: str, n_planes: int, n_dims: int) -> F.Column:
-    """Sign-LSH bucket id as a bit string column (pure JVM arithmetic)."""
+def bucket_expr(
+    vec_col: str, n_planes: int, n_dims: int, plane_offset: int = 0
+) -> F.Column:
+    """Sign-LSH bucket id as a bit string column (pure JVM arithmetic).
+    ``plane_offset`` selects an independent slice of the hyperplane family
+    (used by the multi-band construction)."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(n_dims)])
         bits.append(F.when(_dot(F.col(vec_col), w) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def banded_bucket_keys(
+    vec_col: str, n_bands: int, planes_per_band: int, n_dims: int
+) -> F.Column:
+    """Array of per-band sign-LSH keys — the multi-band OR construction
+    (same shape as the MinHash band keys, dedup.py). Row-local codegen."""
+    return F.array(
+        *[
+            bucket_expr(vec_col, planes_per_band, n_dims, b * planes_per_band)
+            for b in range(n_bands)
+        ]
+    )
 
 
 def cosine_pair_col(a, b) -> F.Column:
@@ -83,31 +100,68 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     exact: bool = False,
     n_dims: int | None = None,
+    n_bands: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, cos_sim).
 
-    Default (``exact=False``) is the scale path: vectors are bucketed by
-    sign-LSH (:func:`bucket_expr`, deterministic hyperplanes) and only
-    same-bucket pairs are verified — the self-join is an equi-join on the
-    bucket key, no quadratic term. Recall is bounded by the bucket collision
-    probability ((1 - θ/π)^planes for angle θ); lower ``n_planes`` for more
-    recall at more candidate cost. ``exact=True`` is the O(n²) audit path —
-    never run corpus-wide.
+    Default (``exact=False``) is the scale path: the multi-band OR
+    construction (same shape as MinHash LSH, dedup.py) — ``n_bands``
+    independent sign-LSH keys of ``n_planes`` planes each, candidates =
+    pairs sharing ≥1 band key, verified with an exact row-local cosine.
+
+    **Bucket-size bound** (why this survives 100×): per band, expected
+    bucket population is ``n / 2^n_planes`` and the within-band join cost is
+    ``n_bands · n² / 2^n_planes`` in expectation — so ``n_planes`` must grow
+    with the corpus: ``n_planes ≈ log2(n / target_bucket_size)`` keeps
+    bucket size (and per-bucket quadratic work) CONSTANT as n grows, while
+    ``n_bands`` independently buys recall: P(candidate | cos θ) =
+    1 - (1 - s^n_planes)^n_bands with s = 1 - θ/π. A fixed plane count
+    (r1's design) let buckets grow linearly with the corpus; here the knob
+    is explicit and per-band keys reuse the same deterministic hyperplane
+    family (``hyperplane_weight``) at disjoint plane offsets.
+
+    Plan shape: one narrow map (band keys), one equi-join on (band, key)
+    producing distinct candidate ids, two id-joins to bring vectors to the
+    pair, row-local cosine verify — no quadratic term, no driver-side
+    actions (``n_dims`` is required; r1 derived it with a ``.first()``).
+
+    ``exact=True`` is the O(n²) audit path — never run corpus-wide.
     """
     sized = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         a = sized.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = sized.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        if n_dims is None:
-            n_dims = len(embeddings.select(vec_col).first()[0])
-        bucketed = sized.withColumn("bucket", bucket_expr("v", n_planes, n_dims))
-        a = bucketed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = bucketed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn("cos_sim", cosine_pair_col(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    if n_dims is None:
+        raise ValueError(
+            "n_dims is required for the bucketed path (deriving it would "
+            "need a driver-side action on the corpus)"
+        )
+    bucketed = sized.withColumn(
+        "bands", banded_bucket_keys("v", n_bands, n_planes, n_dims)
+    )
+    exploded = bucketed.select(
+        "id", F.posexplode("bands").alias("band", "band_key")
+    )
+    a = exploded.select("band", "band_key", F.col("id").alias("id_a"))
+    b = exploded.select("band", "band_key", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    va = sized.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sized.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        pairs.withColumn("cos_sim", cosine_pair_col(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine_pair_col(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -169,13 +223,12 @@ def ivf_topk(
     )
 
 
-def lsh_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 20,
-    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
-    multiprobe: bool = True,
-) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket
-    (plus Hamming-1 probe buckets when ``multiprobe``)."""
+def probe_buckets(
+    query_vec: list[float], n_planes: int, multiprobe: bool = True
+) -> list[str]:
+    """Bucket bit strings to probe for a query vector: its own bucket plus
+    all Hamming-1 neighbors when ``multiprobe``. Driver-side pure Python
+    over the QUERY only (a literal input, never corpus data)."""
     n_dims = len(query_vec)
     qbits = []
     for p in range(n_planes):
@@ -185,11 +238,70 @@ def lsh_topk(
     probes = {qb}
     if multiprobe:
         for i in range(n_planes):
-            flipped = qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :]
-            probes.add(flipped)
+            probes.add(qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :])
+    return sorted(probes)
 
+
+def lsh_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 20,
+    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket
+    (plus Hamming-1 probe buckets when ``multiprobe``).
+
+    NOTE: this variant computes buckets over the whole corpus AT QUERY TIME,
+    so it scans everything and only skips scoring — fine for one-off
+    queries, wrong as the serving path. Use :func:`build_bucket_store` +
+    :func:`lsh_topk_stored` to persist the bucket as a partition key so the
+    probe PRUNES the scan instead.
+    """
+    n_dims = len(query_vec)
+    probes = probe_buckets(query_vec, n_planes, multiprobe)
     bucketed = embeddings.withColumn("bucket", bucket_expr(vec_col, n_planes, n_dims))
-    cand = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    cand = bucketed.filter(F.col("bucket").isin(*probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+# Stored bucket values carry a 'b' prefix: partition-column type inference
+# would otherwise parse bit strings like '010110' into integers and collapse
+# distinct buckets.
+_BUCKET_TAG = "b"
+
+
+def build_bucket_store(
+    embeddings: DataFrame, path: str, n_planes: int, n_dims: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by its sign-LSH bucket — the
+    precompute half of the scale-safe ANN path. One narrow map + one write;
+    at 10^12 vectors this is the Iceberg table's partition/cluster spec and
+    every probe prunes to ~n_probes/2^n_planes of the files."""
+    bucketed = embeddings.withColumn(
+        "bucket",
+        F.concat(F.lit(_BUCKET_TAG), bucket_expr(vec_col, n_planes, n_dims)),
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_stored(
+    spark, store_path: str, query_vec: list[float], k: int = 20,
+    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k over a pre-bucketed store: the probe filter hits the
+    partition column, so non-probed buckets are never read (PartitionFilters
+    in the scan — verified by test). Candidate set is identical to
+    :func:`lsh_topk` with the same flags."""
+    probes = [
+        _BUCKET_TAG + b for b in probe_buckets(query_vec, n_planes, multiprobe)
+    ]
+    cand = spark.read.parquet(store_path).filter(F.col("bucket").isin(*probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col).alias("vec_id"),
