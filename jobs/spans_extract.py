@@ -33,6 +33,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from text_extract_api_spark.checkpoint import (  # noqa: E402
     bucket_col,
     completed_buckets,
+    observe_extraction,
+    write_milestone,
     write_progress,
 )
 from text_extract_api_spark.io import read_table, write_table  # noqa: E402
@@ -110,6 +112,9 @@ def main(argv: list[str] | None = None) -> dict:
         results = results.withColumn(
             "bucket", bucket_col(F.col("doc_id"), args.n_buckets)
         )
+        # In-flight metrics (Celery update_state analog): the observation
+        # node rides the write action — no separate counting pass.
+        results, obs = observe_extraction(results, f"wave_{wave}")
         # ONE heavy action per wave: the results write. partition by
         # (run_id, bucket): dynamic overwrite is then idempotent per wave AND
         # isolated between runs. Cluster on bucket first so each task writes
@@ -143,11 +148,14 @@ def main(argv: list[str] | None = None) -> dict:
             )
         write_table(new_cache, cache_loc, mode="append")
         write_progress(written, progress_loc, args.run_id, args.run_ts)
-        n_docs, n_spans = written.agg(
-            F.count("*"), F.coalesce(F.sum(F.size("spans")), F.lit(0))
-        ).collect()[0]
-        total_docs += n_docs
-        total_spans += int(n_spans)
+        # observed during the results write — no extra counting action
+        metrics = obs.get
+        write_milestone(
+            spark, progress_loc, args.run_id, args.run_ts,
+            f"wave_{wave}_extracted", metrics,
+        )
+        total_docs += int(metrics.get("docs") or 0)
+        total_spans += int(metrics.get("spans") or 0)
 
     wall = time.time() - t0
     summary = {

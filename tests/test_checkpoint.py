@@ -59,3 +59,36 @@ def test_resume_skips_done_buckets(spark, docs, tmp_path):
 def test_completed_buckets_empty_when_no_progress(spark, tmp_path):
     done = completed_buckets(spark, str(tmp_path / "nope"), "x")
     assert done.count() == 0
+
+
+def test_observation_milestones_and_polling(spark, docs, tmp_path):
+    """Observation metrics ride the consuming action (Celery update_state
+    analog); milestone rows are pollable and never match the resume filter."""
+    from text_extract_api_spark.checkpoint import (
+        observe_extraction,
+        poll_progress,
+        write_milestone,
+    )
+
+    progress = str(tmp_path / "progress")
+    run_id = "obs-test"
+
+    observed, obs = observe_extraction(docs.select("doc_id", "spans", "bucket"), "m0")
+    write_progress(observed, progress, run_id, "2026-01-01 00:00:00")
+    metrics = obs.get
+    assert metrics["docs"] == docs.count()
+    assert metrics["spans"] > 0 and metrics["bytes"] > 0
+
+    write_milestone(spark, progress, run_id, "2026-01-01 00:00:00", "wave_0", metrics)
+
+    # milestone rows must not mark buckets done
+    done = completed_buckets(spark, progress, run_id)
+    assert -1 not in {r["bucket"] for r in done.collect()}
+
+    polled = {r["status"]: r for r in poll_progress(spark, progress, run_id).collect()}
+    assert polled["milestone:wave_0"]["docs_done"] == metrics["docs"]
+    assert polled["done"]["docs_done"] == metrics["docs"]
+
+    # unknown run → PENDING (empty)
+    assert poll_progress(spark, progress, "other-run").count() == 0
+    assert poll_progress(spark, str(tmp_path / "missing"), run_id).count() == 0

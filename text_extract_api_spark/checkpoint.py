@@ -50,6 +50,88 @@ def filter_resumable(
     return withb.join(F.broadcast(done), "bucket", "left_anti")
 
 
+def observe_extraction(results: DataFrame, name: str):
+    """Attach an in-flight metrics observation to the results frame — the
+    engine analog of Celery ``update_state`` milestones (tasks.py:40-94):
+    metrics are collected DURING the write action (observation node in the
+    plan), not by a separate pass afterwards.
+
+    Returns (observed_df, observation); read ``observation.get`` after the
+    consuming action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = results.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("spans"),
+        F.coalesce(
+            F.sum(
+                F.aggregate(
+                    F.col("spans"),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc
+                    + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("bytes"),
+    )
+    return observed, obs
+
+
+def write_milestone(
+    spark: SparkSession,
+    progress_loc: str,
+    run_id: str,
+    run_ts: str,
+    milestone: str,
+    metrics: dict,
+) -> None:
+    """Append one milestone row (status='milestone:<name>') with observed
+    metrics — the per-wave analog of the reference's PROGRESS states
+    (10/30/50/75, tasks.py:41-63). Milestone rows use bucket=-1 and never
+    match the ``status == 'done'`` resume filter."""
+    row = [
+        (
+            run_id,
+            -1,
+            -1,
+            f"milestone:{milestone}",
+            int(metrics.get("docs") or 0),
+            int(metrics.get("spans") or 0),
+            int(metrics.get("bytes") or 0),
+        )
+    ]
+    marks = spark.createDataFrame(
+        row,
+        "run_id string, partition_id int, bucket int, status string, "
+        "docs_done long, spans_done long, bytes_done long",
+    ).withColumn("updated_at", F.lit(run_ts).cast("timestamp"))
+    write_table(marks, progress_loc, mode="append")
+
+
+def poll_progress(spark: SparkSession, progress_loc: str, run_id: str) -> DataFrame:
+    """Result-polling view (the reference's GET /ocr/result state machine,
+    main.py:171-188): per-status rollup for a run. Empty frame = PENDING."""
+    try:
+        prog = read_table(spark, progress_loc)
+    except Exception:
+        return spark.createDataFrame(
+            [], "status string, n_marks long, docs_done long, spans_done long"
+        )
+    return (
+        prog.filter(F.col("run_id") == run_id)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_marks"),
+            F.sum("docs_done").alias("docs_done"),
+            F.sum("spans_done").alias("spans_done"),
+        )
+    )
+
+
 def write_progress(
     results: DataFrame,
     progress_loc: str,
