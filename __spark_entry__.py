@@ -868,6 +868,26 @@ def q_image_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unify_images(_media(spark, sf_dir))
 
 
+def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 decode side: base64 transport → binary payload → sniffed kind +
+    payload hash. Round-trips the engine's own encode (F7) through the
+    reference's from_base64 path (file_format.py:54-59)."""
+    from text_extract_api_spark.ingest import decode_base64_col, sniff_fmt_col
+
+    docs = _docs(spark, sf_dir)
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.concat(F.lit("%PDF-1.7\n"), F.col("text")), "UTF-8")),
+        "[\\r\\n]",
+        "",
+    )
+    decoded = docs.select("doc_id", decode_base64_col(b64).alias("content"))
+    return decoded.select(
+        "doc_id",
+        F.md5("content").alias("payload_md5"),
+        sniff_fmt_col(F.col("content")).alias("fmt"),
+    )
+
+
 def q_binary_ingest_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F3/P2: raw-bytes ingest + magic-byte format sniff
     (file_format.py:196-211, pdf.py:32-34). Payloads synthesized from the
@@ -1127,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_to_pdf": q_image_to_pdf,
         "image_unify": q_image_unify,
         "binary_ingest_sniff": q_binary_ingest_sniff,
+        "base64_ingest": q_base64_ingest,
         "office_extract": q_office_extract,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_revenue": q_tpch_q6_revenue,
@@ -1256,6 +1277,17 @@ FROM documents
         "image_to_pdf": _image_to_pdf_sql(),
         "image_unify": _image_unify_sql(),
         "binary_ingest_sniff": _binary_sniff_sql(),
+        "base64_ingest": """
+WITH p AS (SELECT doc_id, '%PDF-1.7' || chr(10) || text AS payload FROM documents)
+SELECT doc_id,
+       md5(decode(from_base64(to_base64(encode(payload))))) AS payload_md5,
+       CASE WHEN substring(payload, 1, 4) = '%PDF' THEN 'pdf'
+            WHEN substring(payload, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN upper(substring(payload, 1, 9)) = '<!DOCTYPE' THEN 'html'
+            WHEN upper(substring(payload, 1, 5)) = '<HTML' THEN 'html'
+            ELSE 'text' END AS fmt
+FROM p
+""".strip(),
         "office_extract": (
             # the paragraph/slide join puts a break at the chunk boundary;
             # whitespace-normalized that is a single space between chunks

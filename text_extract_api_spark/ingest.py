@@ -131,6 +131,13 @@ def kind_from_fmt_col(fmt: Column) -> Column:
     return expr.otherwise(F.lit("text"))
 
 
+def decode_base64_col(b64: Column) -> Column:
+    """Base64 transport decode (S2 — the reference's ``from_base64``,
+    file_format.py:54-59 / the POST /ocr/request JSON body, main.py:147-168).
+    MIME newlines are tolerated, matching Python's ``base64.b64decode``."""
+    return F.unbase64(F.regexp_replace(b64, "[\\r\\n]", ""))
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Raw-file ingest: one row per file with the payload as binary.
 
