@@ -75,7 +75,10 @@ ANN_PLANES = 6
 JACCARD_T = 0.82
 NEARDUP_T = 0.82
 EMB_NEARDUP_T = 0.42
-EMB_NEARDUP_PLANES = 4  # planes per band
+# planes per band scale with the corpus (log2(n/target_bucket): sf0.1 has
+# 2000 vectors → 8 planes ≈ 8-vector buckets; 4 planes left ~125-vector
+# buckets → 250k candidate pairs, the quadratic trap); bands buy recall.
+EMB_NEARDUP_PLANES = 8
 EMB_NEARDUP_BANDS = 2
 IVF_STRIDE = 50
 IVF_PROBES = 2

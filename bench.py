@@ -96,7 +96,9 @@ def main() -> None:
     if prev_paths:
         try:
             with open(prev_paths[-1]) as f:
-                prev_q = json.load(f).get("queries", {})
+                prev = json.load(f)
+            # the driver wraps bench output under 'parsed'
+            prev_q = (prev.get("parsed") or prev).get("queries", {})
             for name, sec in per_query.items():
                 if name in prev_q and prev_q[name] > 0:
                     delta_vs_prev[name] = round(sec / prev_q[name] - 1.0, 3)

@@ -120,10 +120,11 @@ def embedding_neardup_pairs(
     is explicit and per-band keys reuse the same deterministic hyperplane
     family (``hyperplane_weight``) at disjoint plane offsets.
 
-    Plan shape: one narrow map (band keys), one equi-join on (band, key)
-    producing distinct candidate ids, two id-joins to bring vectors to the
-    pair, row-local cosine verify — no quadratic term, no driver-side
-    actions (``n_dims`` is required; r1 derived it with a ``.first()``).
+    Plan shape: one narrow map (band keys), ONE equi-join on (band, key)
+    with vectors carried through, cross-band dedup via the row-local
+    first-matching-band predicate (no distinct shuffle, no id-joins),
+    row-local cosine verify — no quadratic term, no driver-side actions
+    (``n_dims`` is required; r1 derived it with a ``.first()``).
 
     ``exact=True`` is the O(n²) audit path — never run corpus-wide.
     """
@@ -146,21 +147,33 @@ def embedding_neardup_pairs(
         "bands", banded_bucket_keys("v", n_bands, n_planes, n_dims)
     )
     exploded = bucketed.select(
-        "id", F.posexplode("bands").alias("band", "band_key")
+        "id", "v", "bands", F.posexplode("bands").alias("band", "band_key")
     )
-    a = exploded.select("band", "band_key", F.col("id").alias("id_a"))
-    b = exploded.select("band", "band_key", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair may collide in several bands — verify once
+    a = exploded.select(
+        "band", "band_key",
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("bands").alias("bands_a"),
     )
-    va = sized.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sized.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    b = exploded.select(
+        "band", "band_key",
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("bands").alias("bands_b"),
+    )
+    # A pair colliding in several bands must be emitted once; instead of a
+    # distinct (an extra shuffle of the candidate set) + two id-joins to
+    # re-attach vectors, keep the pair only in its FIRST matching band — a
+    # row-local predicate over the band arrays both sides already carry.
+    earlier_match = F.exists(
+        F.zip_with(
+            F.slice(F.col("bands_a"), 1, F.col("band")),  # bands 0..band-1
+            F.slice(F.col("bands_b"), 1, F.col("band")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, ["band", "band_key"])
+        .filter((F.col("id_a") < F.col("id_b")) & ~earlier_match)
         .withColumn("cos_sim", cosine_pair_col(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
