@@ -131,3 +131,38 @@ def test_storage_list_delete(spark, tmp_path):
     assert list_tables(spark, base) == ["t2"]
     assert delete_table(spark, f"{base}/t1") is False  # already gone
     assert list_tables(spark, str(tmp_path / "missing")) == []
+
+
+def test_bucketed_cache_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """J1 at scale: docs and cache both bucketed by content_hash → the cache
+    anti/inner joins run with NO Exchange (each task reads matching buckets).
+    This is the write-once-shuffle-never co-location the pipeline relies on
+    for a 10^12-row cache table."""
+    from text_extract_api_spark.io import write_bucketed
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    )
+    cache = docs.filter(F.col("doc_id") % 10 == 0).select("content_hash")
+
+    write_bucketed(docs, "bdocs", "content_hash", 8)
+    write_bucketed(cache, "bcache", "content_hash", 8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t_docs, t_cache = spark.table("bdocs"), spark.table("bcache")
+            misses = t_docs.join(t_cache, "content_hash", "left_anti")
+            hits = t_docs.join(t_cache, "content_hash", "inner")
+            for df in (misses, hits):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # co-located: zero shuffles
+            # and the results are still correct
+            assert misses.count() + hits.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdocs")
+        spark.sql("DROP TABLE IF EXISTS bcache")
