@@ -166,3 +166,40 @@ def test_bucketed_cache_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bdocs")
         spark.sql("DROP TABLE IF EXISTS bcache")
+
+
+def test_raw_files_job_end_to_end(spark, tmp_path):
+    """The reference's flagship user flow on the engine: a directory of
+    actual files → sniff → dispatch → extracted spans (HTML stripped to the
+    article, OOXML really parsed, PII masked)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import raw_files_extract
+
+    inp = tmp_path / "files"
+    inp.mkdir()
+    (inp / "report.html").write_bytes(
+        b'<!DOCTYPE html><html><body><nav><a href="/">Home</a></nav>'
+        b"<article><p>Body text that matters.</p></article>"
+        b"<footer>c</footer></body></html>"
+    )
+    (inp / "notes.txt").write_bytes(b"call 555-0147 maybe  spaced   out")
+    (inp / "memo.docx").write_bytes(make_docx(["Alpha", "Beta"]))
+
+    out = str(tmp_path / "out")
+    summary = raw_files_extract.main(
+        ["--input", str(inp), "--out", out], spark=spark
+    )
+    assert summary["docs"] == 3
+
+    rows = {
+        os.path.basename(r["doc_id"]): r["spans"][0]
+        for r in spark.read.parquet(f"{out}/results").collect()
+    }
+    assert rows["report.html"]["kind"] == "html"
+    assert rows["report.html"]["text"] == "Body text that matters."
+    assert rows["memo.docx"]["kind"] == "docx"
+    assert rows["memo.docx"]["text"] == "Alpha Beta"
+    assert "ANONYMIZED" in rows["notes.txt"]["text"]
+    assert "555" not in rows["notes.txt"]["text"]
