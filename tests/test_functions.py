@@ -265,3 +265,79 @@ def test_lsh_topk_stored_prunes_partitions(spark, tmp_path):
 
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket" in plan and "bucket" in plan
+
+
+def test_pii_chained_priority_overlap(spark):
+    """The ADVICE r1 overlap case: chained replaces apply SSN before the
+    short-phone rule, so a phone match can never eat half an SSN. A single
+    alternation (leftmost-position-first) would yield 'ANONYMIZED-89-1234'
+    and leak '89-1234'."""
+    from text_extract_api_spark.extractors.pii import anonymize_col, anonymize_sql
+
+    df = spark.createDataFrame([("123-4567-89-1234",)], "t string")
+    got = df.select(anonymize_col(F.col("t")).alias("a")).collect()[0]["a"]
+    assert got == "123-4ANONYMIZED"
+
+    import duckdb
+
+    duck = duckdb.sql(
+        "SELECT " + anonymize_sql("'123-4567-89-1234'") + " AS a"
+    ).fetchone()[0]
+    assert duck == got  # oracle implements the same chained semantics
+
+
+def test_banded_neardup_first_match_dedup_is_exact(spark):
+    """The first-matching-band predicate must emit each colliding pair
+    exactly once — identical pair set to a distinct-based reference."""
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import (
+        banded_bucket_keys,
+        embedding_neardup_pairs,
+    )
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    # clusters of very similar vectors → many pairs collide in BOTH bands
+    vecs = []
+    for i in range(12):
+        base = detvec(i)
+        vecs.append(base)
+        vecs.append([x + 0.002 for x in base])
+        vecs.append([x - 0.002 for x in base])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = (
+        embedding_neardup_pairs(emb, 0.0, n_planes=3, n_dims=16, n_bands=3)
+        .groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert got == 0  # no pair emitted twice
+
+    # reference pair set via explode + distinct
+    bucketed = emb.withColumn(
+        "bands", banded_bucket_keys("embedding", 3, 3, 16)
+    ).select(F.col("vec_id").alias("id"), F.posexplode("bands").alias("band", "key"))
+    a = bucketed.select("band", "key", F.col("id").alias("id_a"))
+    b = bucketed.select("band", "key", F.col("id").alias("id_b"))
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    mine = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, -1.0, n_planes=3, n_dims=16, n_bands=3
+        ).collect()
+    }
+    assert mine == ref
