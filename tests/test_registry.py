@@ -136,3 +136,53 @@ def test_override_strategy_changes_pipeline(spark):
 def test_default_registry_is_cached():
     assert default_registry() is default_registry()
     assert default_registry(refresh=True) is default_registry()
+
+
+def test_env_placeholder_resolution(tmp_path, monkeypatch):
+    """F5: ${VAR} in per-strategy config resolves from the environment at
+    load time (reference storage_strategy.py:33-42); unset vars → ''."""
+    import textwrap as tw
+
+    from text_extract_api_spark.registry import resolve_env_placeholders
+
+    monkeypatch.setenv("GRAFT_TEST_SEP", "||")
+    assert resolve_env_placeholders("${GRAFT_TEST_SEP}") == "||"
+    assert resolve_env_placeholders({"a": ["x${GRAFT_TEST_SEP}y", 3]}) == {
+        "a": ["x||y", 3]
+    }
+    assert resolve_env_placeholders("${GRAFT_UNSET_VAR}") == ""
+
+    conf = tmp_path / "s.yaml"
+    conf.write_text(
+        tw.dedent(
+            """
+            strategies:
+              pdf:
+                class: text_extract_api_spark.extractors.strategies.pdf_pages
+                page_sep: "${GRAFT_TEST_SEP}"
+            """
+        )
+    )
+    reg = load_registry_from_config(str(conf))
+    assert reg.get("pdf").config["page_sep"] == "||"
+
+
+def test_split_unknown_kinds(spark):
+    """P1: rows whose kind no strategy claims go to quarantine with a
+    reason, valid rows pass — nothing is dropped."""
+    from text_extract_api_spark.registry import split_unknown_kinds
+
+    reg = default_registry()
+    flat = spark.createDataFrame(
+        [
+            ("d1", "text", "ok", "", 0),
+            ("d1", "exotic_kind", "x", "", 1),
+            ("d1", None, "y", "", 2),
+        ],
+        "key string, kind string, text string, media_ref string, offset int",
+    )
+    valid, quarantined = split_unknown_kinds(flat, reg)
+    assert [r["offset"] for r in valid.collect()] == [0]
+    q = {r["offset"]: r["reason"] for r in quarantined.collect()}
+    assert q == {1: "unknown_kind", 2: "unknown_kind"}
+    assert valid.count() + quarantined.count() == flat.count()

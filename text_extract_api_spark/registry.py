@@ -85,11 +85,35 @@ class StrategyRegistry:
         return list(self._strategies.keys())
 
 
+_ENV_RE = None
+
+
+def resolve_env_placeholders(value):
+    """Resolve ``${VAR}`` placeholders from the environment — the
+    reference's storage-config resolution (storage_strategy.py:33-42),
+    applied recursively over config dicts/lists. Unset variables resolve to
+    '' (same as ``os.getenv`` default there)."""
+    global _ENV_RE
+    if _ENV_RE is None:
+        import re
+
+        _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+    if isinstance(value, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), value)
+    if isinstance(value, dict):
+        return {k: resolve_env_placeholders(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [resolve_env_placeholders(v) for v in value]
+    return value
+
+
 def load_registry_from_config(
     path: str, registry: StrategyRegistry | None = None
 ) -> StrategyRegistry:
     """YAML → registry (reference strategy.py:73-102 semantics, including
-    its error messages for a missing file / section / class attribute)."""
+    its error messages for a missing file / section / class attribute).
+    ``${VAR}`` placeholders in per-strategy config resolve from the
+    environment (F5) — driver-side, before the config enters plan closures."""
     import yaml
 
     registry = registry or StrategyRegistry()
@@ -106,10 +130,38 @@ def load_registry_from_config(
             raise ValueError(
                 f"Missing 'class' attribute for strategy: {strategy_name}"
             )
+        strategy_config = resolve_env_placeholders(strategy_config)
         module_path, attr_name = strategy_config["class"].rsplit(".", 1)
         factory = getattr(importlib.import_module(module_path), attr_name)
         registry.register(factory(strategy_config), strategy_name)
     return registry
+
+
+def known_kinds(registry: StrategyRegistry) -> set[str]:
+    """Every kind some registered strategy claims."""
+    out: set[str] = set()
+    for strat in registry.strategies():
+        out.update(strat.kinds)
+    return out
+
+
+def split_unknown_kinds(flat: DataFrame, registry: StrategyRegistry):
+    """Request-validation predicate (P1 — the reference's Pydantic
+    strategy-must-exist validators, main.py:104-144, which 400 the request):
+    split a flat span frame into (valid, quarantined) on whether any
+    registered strategy claims the row's kind. The batch engine quarantines
+    instead of failing the job: a poison row must not kill 10^12 documents.
+    """
+    from pyspark.sql import functions as F
+
+    kinds = sorted(known_kinds(registry))
+    is_known = F.col("kind").isin(*kinds)
+    return (
+        flat.filter(is_known),
+        flat.filter(F.coalesce(~is_known, F.lit(True))).withColumn(
+            "reason", F.lit("unknown_kind")
+        ),
+    )
 
 
 def autodiscover(
