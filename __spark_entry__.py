@@ -1063,6 +1063,49 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. Plan: region→nation→supplier chain is
+    broadcast (tiny dims); lineitem⋈orders⋈customer shuffle on their keys;
+    one partial+final agg on n_name. Exercises Catalyst join planning the
+    way a 100 TB fact table needs it — small sides never shuffle the fact."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    region = rd("region").filter(F.col("r_name") == "ASIA")
+    nation = rd("nation")
+    supplier = rd("supplier")
+    customer = rd("customer")
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = rd("lineitem")
+    dims = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey)
+            & (customer.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("double") + F.lit(1e-6),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -1155,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -1335,6 +1379,22 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""".strip(),
+        "tpch_q5_local_supplier": """
+SELECT n_name,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) + 1e-6, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
 """.strip(),
         "top_events_per_user": """
 SELECT user_id, event_id, value, rn FROM (
