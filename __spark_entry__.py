@@ -891,6 +891,38 @@ def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_markdown_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship output shape: per-document markdown with
+    page structure (its OCR strategies emit markdown per page and concat —
+    easyocr.py:52-56, golden artifact examples/example-mri-result.md). The
+    engine structures the page store deterministically: '## Page N' headings
+    in explicit page order, one row per media_ref. Single groupBy shuffle."""
+    media = _media(spark, sf_dir)
+    return media.groupBy("media_ref").agg(
+        F.concat(
+            F.lit("# Document "),
+            F.col("media_ref"),
+            F.lit("\n\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page_no", "page_text")),
+                        lambda a, b: a["page_no"] - b["page_no"],
+                    ),
+                    lambda s: F.concat(
+                        F.lit("## Page "),
+                        s["page_no"].cast("string"),
+                        F.lit("\n\n"),
+                        s["page_text"],
+                    ),
+                ),
+                "\n\n",
+            ),
+        ).alias("markdown"),
+        F.count("*").alias("n_pages"),
+    )
+
+
 def q_binary_ingest_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F3/P2: raw-bytes ingest + magic-byte format sniff
     (file_format.py:196-211, pdf.py:32-34). Payloads synthesized from the
@@ -1194,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_unify": q_image_unify,
         "binary_ingest_sniff": q_binary_ingest_sniff,
         "base64_ingest": q_base64_ingest,
+        "pdf_markdown_structuring": q_pdf_markdown_structuring,
         "office_extract": q_office_extract,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_revenue": q_tpch_q6_revenue,
@@ -1324,6 +1357,16 @@ FROM documents
         "image_to_pdf": _image_to_pdf_sql(),
         "image_unify": _image_unify_sql(),
         "binary_ingest_sniff": _binary_sniff_sql(),
+        "pdf_markdown_structuring": f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref,
+       '# Document ' || media_ref || chr(10) || chr(10) ||
+       string_agg('## Page ' || CAST(page_no AS VARCHAR) || chr(10) || chr(10) || page_text,
+                  chr(10) || chr(10) ORDER BY page_no) AS markdown,
+       COUNT(*) AS n_pages
+FROM pages GROUP BY media_ref
+""".strip(),
         "base64_ingest": """
 WITH p AS (SELECT doc_id, '%PDF-1.7' || chr(10) || text AS payload FROM documents)
 SELECT doc_id,
