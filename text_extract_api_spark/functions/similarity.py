@@ -281,6 +281,89 @@ def lsh_topk(
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+def build_ivf_store(
+    embeddings: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors partitioned by their assigned
+    centroid cell (``<path>/assigned``) plus the centroid codebook
+    (``<path>/centroids``). The assignment join runs ONCE at build time
+    against a broadcast centroid table; at query time the cell probe prunes
+    partitions instead of recomputing assignments (the r1 design re-assigned
+    the whole corpus per query). At 10^12 vectors this is the Iceberg
+    partition spec over a trained codebook."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = F.broadcast(
+        emb.filter(F.col("id") % centroid_stride == 0).select(
+            F.col("id").alias("cent_id"), F.col("v").alias("cv")
+        )
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(cents)
+        .withColumn("cent_sim", cosine_pair_col(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cent_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(f"{path}/assigned")
+    emb.filter(F.col("id") % centroid_stride == 0).select(
+        F.col("id").alias("cent_id"), F.col("v").alias("cv")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _round4_half_up(x: float) -> float:
+    """Replicates F.round(_, 4) (Java HALF_UP, away from zero) so driver-side
+    probe selection ties break exactly like the engine/oracle."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    store_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN over the prebuilt store: codebook → driver-side probe-cell
+    selection (the codebook is small by construction — the legitimate
+    in-memory half of IVF serving), partition-pruned scan of the probed
+    cells, re-rank against the query literal."""
+    import math
+
+    cents = spark.read.parquet(f"{store_path}/centroids").collect()
+
+    def cos(cv) -> float:
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, cv))
+        na = math.sqrt(sum(float(a) * float(a) for a in query_vec))
+        nb = math.sqrt(sum(float(b) * float(b) for b in cv))
+        return _round4_half_up(dot / (na * nb))
+
+    ranked = sorted(((cos(r["cv"]), r["cent_id"]) for r in cents), key=lambda t: (-t[0], t[1]))
+    probes = [cent_id for _, cent_id in ranked[:n_probe]]
+
+    cand = spark.read.parquet(f"{store_path}/assigned").filter(
+        F.col("cent_id").isin(*probes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col("id").alias("vec_id"),
+        F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q)), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
 # Stored bucket values carry a 'b' prefix: partition-column type inference
 # would otherwise parse bit strings like '010110' into integers and collapse
 # distinct buckets.
