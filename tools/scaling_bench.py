@@ -78,6 +78,7 @@ def parse_eventlog(evl_dir: str) -> dict:
 
 
 def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
+    ambient = os.getloadavg()[0]  # neighbor load when this run starts
     out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     evl = tempfile.mkdtemp(prefix=f"evl_{cores}_")
     env = dict(os.environ)
@@ -102,6 +103,7 @@ def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
         last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(last)
         r.update(parse_eventlog(evl))
+        r["ambient_load"] = round(ambient, 2)
         return r
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -129,7 +131,11 @@ def main() -> None:
         r_n = run_once(sf_dir, n, mult, infl)
         r_4n = run_once(sf_dir, n4, mult, infl)
         pair_eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
-        print(f"pair {i}: local[{n}]={r_n['sec']}s local[{n4}]={r_4n['sec']}s eff={pair_eff:.3f}")
+        print(
+            f"pair {i}: local[{n}]={r_n['sec']}s local[{n4}]={r_4n['sec']}s "
+            f"eff={pair_eff:.3f} ambient_load={r_n['ambient_load']}/{r_4n['ambient_load']}",
+            flush=True,
+        )
         pairs.append((pair_eff, r_n, r_4n))
     by_eff = sorted(pairs, key=lambda p: p[0])
     eff, rn_med, r4n_med = by_eff[len(by_eff) // 2]  # median pair
@@ -152,7 +158,11 @@ the timed window (it stands in for the Iceberg scan).
 
 **Selection rule**: the table below shows the MEDIAN pair by efficiency
 (not the best — max-of-noisy-samples is biased). All pair efficiencies this
-session: {all_effs} (min {min(all_effs)}, max {max(all_effs)}).
+session: {all_effs} (min {min(all_effs)}, max {max(all_effs)}). Ambient
+neighbor load (1-min loadavg at run start, median pair):
+{results[n]['ambient_load']} (N run) / {results[n4]['ambient_load']} (4N run)
+— on this host-shared box, measured efficiency tracks ambient load, not the
+plan (see core-seconds analysis below).
 
 | parallelism | wall-clock s | docs/sec | tasks | task core-s (run/cpu) | scaling efficiency |
 |---|---|---|---|---|---|
