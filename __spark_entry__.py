@@ -522,6 +522,31 @@ SELECT doc_id, {expr} AS lang_pred FROM b
 """.strip()
 
 
+def _stratified_sample_oracle() -> str:
+    from text_extract_api_spark.functions.sampling import stratified_sample_sql
+
+    where = stratified_sample_sql(SAMPLE_FRACS, default_fraction=SAMPLE_DEFAULT)
+    return f"SELECT doc_id, lang FROM documents WHERE {where}"
+
+
+def _mix_weights_oracle() -> str:
+    whens = "".join(f" WHEN '{s}' THEN {p}" for s, p in MIX_TARGET_PPM.items())
+    tok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM({tok}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       ((CASE lang{whens} ELSE 0 END) * SUM(total_tokens) OVER () * 10000)
+         // (1000000 * total_tokens) AS weight_x10k
+FROM per
+""".strip()
+
+
 def _quality_sql() -> str:
     sw = " + ".join(_occ_sql("padded", f" {w} ") for w in STOPWORDS_EN)
     return f"""
@@ -757,6 +782,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     )
+
+
+SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2}
+SAMPLE_DEFAULT = 0.1
+MIX_TARGET_PPM = {"en": 400000, "de": 150000, "fr": 150000, "es": 150000, "zh": 150000}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (training-mix construction):
+    hash-threshold keep decisions, zero shuffles, reproducible on restart."""
+    from text_extract_api_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACS, default_fraction=SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language upsampling weights to hit a target token mix — scaled
+    integer arithmetic end-to-end (bit-stable across engines)."""
+    from text_extract_api_spark.functions.sampling import mix_weights
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", token_count_col(F.col("text")).cast("bigint")
+    )
+    return mix_weights(docs, MIX_TARGET_PPM, F.col("n_tokens"))
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix_weights": q_corpus_mix_weights,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
@@ -1361,6 +1414,8 @@ FROM documents
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
 FROM documents
 """.strip(),
+        "stratified_sample": _stratified_sample_oracle(),
+        "corpus_mix_weights": _mix_weights_oracle(),
         "dedup_jaccard_pairs": jaccard_full,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",
         "dedup_minhash_neardups": neardup_full,
