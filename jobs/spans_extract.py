@@ -34,7 +34,6 @@ from text_extract_api_spark.checkpoint import (  # noqa: E402
     bucket_col,
     completed_buckets,
     observe_extraction,
-    write_milestone,
     write_progress,
 )
 from text_extract_api_spark.io import read_table, write_table  # noqa: E402
@@ -61,10 +60,21 @@ def main(argv: list[str] | None = None) -> dict:
                     help="deterministic corpus scale-up for scaling benches")
     ap.add_argument("--inflate", type=int, default=1,
                     help="deterministic per-document size scale-up (bench)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the pipeline on a small slice before the timed "
+                         "window (JIT + Python-worker warmup for benches)")
     args = ap.parse_args(argv)
 
-    spark = get_spark("spans_extract", master=args.master,
-                      extra_conf={"spark.sql.sources.partitionOverwriteMode": "dynamic"})
+    spark = get_spark(
+        "spans_extract", master=args.master,
+        extra_conf={
+            "spark.sql.sources.partitionOverwriteMode": "dynamic",
+            # v2 commit: tasks move their own files at task-commit instead of
+            # the driver serially renaming every file at job end — the serial
+            # rename is pure non-scaling overhead on multi-file writes
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        },
+    )
 
     if args.input_table:
         docs = read_table(spark, args.input_table)
@@ -94,6 +104,17 @@ def main(argv: list[str] | None = None) -> dict:
     if args.resume:
         done = completed_buckets(spark, progress_loc, args.run_id)
         docs = docs.join(F.broadcast(done), "bucket", "left_anti")
+
+    if args.warmup:
+        # JIT-compile the hot codegen paths and spawn the Python workers
+        # before the timed window: a fresh JVM otherwise spends its first
+        # seconds interpreted, which reads as fake serial time in scaling
+        # measurements (disclosed in BENCH/BASELINE.md).
+        warm, _ = run_extract_pipeline(
+            spark, docs.limit(256).select("doc_id", "spans", "bucket"),
+            media, cache, "warmup",
+        )
+        warm.write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
     total_docs = 0
@@ -146,13 +167,15 @@ def main(argv: list[str] | None = None) -> dict:
             new_cache = new_cache.join(
                 cache.select("content_hash"), "content_hash", "left_anti"
             )
-        write_table(new_cache, cache_loc, mode="append")
-        write_progress(written, progress_loc, args.run_id, args.run_ts)
-        # observed during the results write — no extra counting action
+        # the cache table is small rows (hash + spans); 8 output files beat
+        # shuffle.partitions× tiny files and their task-commit overhead
+        write_table(new_cache.coalesce(8), cache_loc, mode="append")
+        # metrics observed during the results write — no extra counting
+        # action; milestone row rides the progress append (one action)
         metrics = obs.get
-        write_milestone(
-            spark, progress_loc, args.run_id, args.run_ts,
-            f"wave_{wave}_extracted", metrics,
+        write_progress(
+            written, progress_loc, args.run_id, args.run_ts,
+            milestone=(f"wave_{wave}_extracted", metrics),
         )
         total_docs += int(metrics.get("docs") or 0)
         total_spans += int(metrics.get("spans") or 0)

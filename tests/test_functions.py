@@ -371,3 +371,54 @@ def test_ivf_stored_matches_live(spark, tmp_path):
     assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in live.collect()]
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cent_id" in plan
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
+    """Hash-threshold sampling: identical output across reruns/partitionings,
+    per-stratum rates near the configured fractions, decisions row-stable."""
+    from text_extract_api_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fracs = {"en": 0.5, "de": 0.25}
+    a = {r["doc_id"] for r in stratified_sample(docs, fracs).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(17), fracs).collect()
+    }
+    assert a == b  # partitioning-invariant
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, fracs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # default fraction 0 → unlisted strata fully dropped
+    assert set(by_lang) <= set(fracs)
+    # observed rate within a loose binomial band of the target
+    for lang, frac in fracs.items():
+        if totals.get(lang, 0) >= 50:
+            rate = by_lang.get(lang, 0) / totals[lang]
+            assert abs(rate - frac) < 0.2
+
+
+def test_mix_weights_hits_target_shares(spark, sf_dir):
+    """weight × tokens recovers the target mix (up to ×10⁴ truncation)."""
+    from text_extract_api_spark.functions.sampling import mix_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = {"en": 500000, "de": 500000}
+    rows = mix_weights(
+        docs, target, F.col("n_chars").cast("bigint")
+    ).collect()
+    by = {r["lang"]: r for r in rows}
+    assert by["es"]["weight_x10k"] == 0  # untargeted stratum
+    total = sum(r["total_tokens"] for r in rows)
+    for lang, ppm in target.items():
+        w = by[lang]["weight_x10k"] / 10000.0
+        achieved = w * by[lang]["total_tokens"] / total
+        assert abs(achieved - ppm / 1e6) < 0.001

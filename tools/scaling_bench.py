@@ -34,10 +34,12 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CORES = (2, 8)
-MULTIPLIER = 16
-INFLATE = 32
-RUNS = 3
+CORES = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
+)
+MULTIPLIER = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "16"))
+INFLATE = int(os.environ.get("SPARK_GRAFT_SCALE_INFLATE", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 SHUFFLE_PARTITIONS = 64  # fixed across levels: parallelism must come from
 # cores only, not a second knob
 
@@ -97,6 +99,7 @@ def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
                 "--master", f"local[{cores}]",
                 "--multiplier", str(multiplier),
                 "--inflate", str(inflate),
+                "--warmup",
             ],
             capture_output=True, text=True, timeout=1800, cwd=REPO, env=env,
         )
@@ -160,7 +163,9 @@ spans={results[n]['spans']}, ~{infl * 120 * 4} chars/span), job =
 `jobs/spans_extract.py` (full pipeline incl. result/cache/progress writes),
 {runs} back-to-back N/4N pair(s), fresh JVM each, shuffle.partitions fixed
 at {SHUFFLE_PARTITIONS} for both levels. Synthesis is materialized outside
-the timed window (it stands in for the Iceberg scan).
+the timed window (it stands in for the Iceberg scan); a 256-doc warmup run
+precedes the window so JIT compilation and Python-worker spawn (fixed
+per-JVM costs, not per-data work) don't masquerade as serial time.
 
 **Selection rule**: the table below shows the MEDIAN pair by efficiency
 (not the best — max-of-noisy-samples is biased). All pair efficiencies this
