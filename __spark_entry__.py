@@ -481,6 +481,48 @@ FROM f
 """.strip()
 
 
+def _media_resize_sql() -> str:
+    w = f"(64 + ({_hexval_sql('h', 1)} * 16 + {_hexval_sql('h', 2)}) % 192)"
+    hgt = f"(64 + ({_hexval_sql('h', 3)} * 16 + {_hexval_sql('h', 4)}) % 192)"
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE},
+meta AS (
+  SELECT media_ref, CAST(page_no AS INT) AS page_no, md5(page_text) AS h,
+         {w} AS w, {hgt} AS ht
+  FROM pages
+),
+dims AS (
+  SELECT media_ref, page_no, h,
+         GREATEST(1, (w * 64) // GREATEST(w, ht)) AS ow,
+         GREATEST(1, (ht * 64) // GREATEST(w, ht)) AS oh
+  FROM meta
+)
+SELECT media_ref, page_no, CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+       md5('RESIZESTUB:' || h || ':' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR)) AS resized_md5
+FROM dims
+""".strip()
+
+
+def _media_audio_sql() -> str:
+    rate = f"([8000, 16000, 44100, 48000])[CAST({_hexval_sql('h', 1)} % 4 AS INT) + 1]"
+    chan = f"1 + {_hexval_sql('h', 2)} % 2"
+    loud = (
+        f"-6000 + ({_hexval_sql('h', 3)} * 4096 + {_hexval_sql('h', 4)} * 256 + "
+        f"{_hexval_sql('h', 5)} * 16 + {_hexval_sql('h', 6)}) % 5400"
+    )
+    return f"""
+WITH {SYNTH_CTE},
+{MEDIA_CTE}
+SELECT media_ref, CAST(page_no AS INT) AS page_no,
+       CAST((length(page_text) * 1000) // 16000 AS BIGINT) AS duration_ms,
+       CAST({rate} AS INT) AS sample_rate,
+       CAST({chan} AS INT) AS n_channels,
+       CAST({loud} AS BIGINT) AS loudness_x100
+FROM (SELECT media_ref, page_no, page_text, md5(page_text) AS h FROM pages)
+""".strip()
+
+
 def _media_frames_sql() -> str:
     n = f"LEAST({FRAME_MAX}, GREATEST(1, length(page_text) // {FRAME_EVERY_N}))"
     return f"""
@@ -940,6 +982,23 @@ def q_image_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unify_images(_media(spark, sf_dir))
 
 
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize leg of the media checklist (longest-edge thumbnail, integer
+    aspect-preserving scaling); stubbed codec, value-level oracle."""
+    from text_extract_api_spark.extractors.media import resize_images
+
+    return resize_images(_media(spark, sf_dir))
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (duration/rate/channels/loudness),
+    stubbed codec, value-level oracle — same batch shape a real
+    soundfile/librosa decode would use."""
+    from text_extract_api_spark.extractors.media import audio_features
+
+    return audio_features(_media(spark, sf_dir))
+
+
 def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 decode side: base64 transport → binary payload → sniffed kind +
     payload hash. Round-trips the engine's own encode (F7) through the
@@ -1295,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_quarantine": q_media_quarantine,
         "image_to_pdf": q_image_to_pdf,
         "image_unify": q_image_unify,
+        "media_image_resize": q_media_image_resize,
+        "media_audio_features": q_media_audio_features,
         "binary_ingest_sniff": q_binary_ingest_sniff,
         "base64_ingest": q_base64_ingest,
         "pdf_markdown_structuring": q_pdf_markdown_structuring,
@@ -1429,6 +1490,8 @@ FROM documents
         "media_quarantine": _media_quarantine_sql(),
         "image_to_pdf": _image_to_pdf_sql(),
         "image_unify": _image_unify_sql(),
+        "media_image_resize": _media_resize_sql(),
+        "media_audio_features": _media_audio_sql(),
         "binary_ingest_sniff": _binary_sniff_sql(),
         "pdf_markdown_structuring": f"""
 WITH {SYNTH_CTE},

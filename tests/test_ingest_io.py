@@ -203,3 +203,22 @@ def test_raw_files_job_end_to_end(spark, tmp_path):
     assert rows["memo.docx"]["text"] == "Alpha Beta"
     assert "ANONYMIZED" in rows["notes.txt"]["text"]
     assert "555" not in rows["notes.txt"]["text"]
+
+
+def test_resize_stub_integer_scaling():
+    """Longest edge lands exactly on the target (integer math — float scale
+    factors truncate differently across engines at exact multiples)."""
+    import hashlib
+
+    from text_extract_api_spark.extractors.media import (
+        decode_image,
+        resize_image_bytes,
+    )
+
+    for payload in (b"a", b"payload two", b"x" * 100):
+        w, h, _ = decode_image(payload)
+        ow, oh, data = resize_image_bytes(payload, target=64)
+        assert max(ow, oh) == 64  # longest edge hits the target exactly
+        assert 1 <= min(ow, oh) <= 64
+        assert data.startswith(b"RESIZESTUB:")
+        assert hashlib.md5(payload).hexdigest().encode() in data

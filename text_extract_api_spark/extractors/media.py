@@ -190,6 +190,97 @@ def unify_images(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_ref string, page_no int, out_width int, out_height int, resized_md5 string"
+)
+
+RESIZE_TARGET = 64  # longest-edge target (thumbnailing convention)
+
+
+def resize_image_bytes(payload: bytes, target: int = RESIZE_TARGET) -> tuple[int, int, bytes]:
+    """STUB for image resize (real impl: PIL ``thumbnail``/``resize`` inside
+    the same batch shape). Output dims preserve the stub-decoded aspect
+    ratio with the longest edge clamped to ``target``; the emitted bytes are
+    ASCII derived from (payload md5, dims) so the DuckDB oracle reproduces
+    the exact output hash."""
+    w, h, _ = decode_image(payload)
+    m = max(w, h)
+    # pure integer scaling: float scale factors truncate differently across
+    # engines at exact-multiple boundaries (64/192*192 → 63.999…)
+    ow = max(1, w * target // m)
+    oh = max(1, h * target // m)
+    digest = hashlib.md5(payload or b"").hexdigest()
+    return ow, oh, f"RESIZESTUB:{digest}:{ow}x{oh}".encode()
+
+
+def resize_images(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """(media_ref, page_no, payload) → resized-image fingerprint + output
+    dims (the 'resize' leg of the media checklist). Same filtered-Arrow-leg
+    shape as :func:`image_metadata`."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            outs = payloads.map(lambda p: resize_image_bytes(p, target))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "out_width": outs.map(lambda t: t[0]).astype("int32"),
+                    "out_height": outs.map(lambda t: t[1]).astype("int32"),
+                    "resized_md5": outs.map(lambda t: hashlib.md5(t[2]).hexdigest()),
+                }
+            )
+
+    return df.select("media_ref", "page_no", "payload").mapInPandas(op, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, page_no int, duration_ms long, sample_rate int, "
+    "n_channels int, loudness_x100 long"
+)
+
+AUDIO_FAKE_BITRATE = 16000  # bytes/sec the stub pretends the payload encodes
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature-extraction stub: (duration, sample rate, channels,
+    loudness) derived deterministically from the payload (real impl:
+    soundfile/librosa decode inside the same ``mapInPandas`` shape — the
+    container ships no audio codec). Duration scales with payload size;
+    the remaining features come from md5 hex digits, matching the
+    image-metadata stub convention so the oracle checks values."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (8000, 16000, 44100, 48000)
+
+        def feats(p: bytes) -> tuple[int, int, int, int]:
+            h = hashlib.md5(p or b"").hexdigest()
+            duration_ms = len(p) * 1000 // AUDIO_FAKE_BITRATE
+            rate = rates[int(h[0], 16) % 4]
+            channels = 1 + int(h[1], 16) % 2
+            loudness_x100 = -6000 + (int(h[2:6], 16) % 5400)  # [-60, -6) dBFS
+            return duration_ms, rate, channels, loudness_x100
+
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            outs = payloads.map(feats)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "duration_ms": outs.map(lambda t: t[0]).astype("int64"),
+                    "sample_rate": outs.map(lambda t: t[1]).astype("int32"),
+                    "n_channels": outs.map(lambda t: t[2]).astype("int32"),
+                    "loudness_x100": outs.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return df.select("media_ref", "page_no", "payload").mapInPandas(
+        op, AUDIO_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = "media_ref string, page_no int, frame_no int, frame_md5 string"
 
 FRAME_EVERY_N = 10
