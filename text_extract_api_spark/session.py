@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesce defaults (parallelismFirst=true, 64 MB advisory) kept
+        # deliberately: the heavy extraction stage then runs ~1 task/core
+        # with large Arrow streams. A measured experiment with 16 MB +
+        # parallelismFirst=false (≈4 tasks/core to amortize stragglers) ran
+        # 25-35% SLOWER at local[8] — per-task Python-worker handoff and
+        # exchange-read overhead outweigh tail smoothing at this batch size.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound Arrow batch size: one batch of oversized media spans must fit
