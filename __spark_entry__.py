@@ -44,7 +44,6 @@ from text_extract_api_spark.functions.similarity import (
     bucket_expr,
     embedding_neardup_pairs,
     hyperplane_weight,
-    ivf_topk,
 )
 from text_extract_api_spark.functions.textstats import (
     LANG_MARKERS,
@@ -583,8 +582,10 @@ WITH per AS (
   FROM documents GROUP BY lang
 )
 SELECT lang, n_docs, total_tokens,
-       ((CASE lang{whens} ELSE 0 END) * SUM(total_tokens) OVER () * 10000)
-         // (1000000 * total_tokens) AS weight_x10k
+       CAST(CASE WHEN total_tokens > 0 THEN
+         ((CASE lang{whens} ELSE 0 END) * SUM(total_tokens) OVER () * 10000)
+           // (1000000 * total_tokens)
+       ELSE 0 END AS BIGINT) AS weight_x10k
 FROM per
 """.strip()
 
@@ -886,6 +887,22 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(ANN_K)
 
 
+def _store_path(prefix: str, sf_dir: str, variant: str) -> tuple[str, str]:
+    """Index-store location keyed by the SOURCE DATA (path + size + mtime of
+    embeddings.parquet), plus the build-success marker path. isdir alone is
+    not a build marker — write.parquet creates the directory before
+    completing, so a crashed build or a regenerated corpus must invalidate."""
+    import hashlib
+    import os as _os
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = _os.stat(src)
+    key = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    store = f"/tmp/{prefix}_{tag}_{variant}"
+    return store, f"{store}/_BUILD_OK"
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: probe a PRE-BUCKETED store so the scan is partition-
     pruned (r1 computed buckets over the whole corpus at query time — a full
@@ -894,7 +911,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row literal lookup, the legitimate driver-side part of ANN serving.
     Candidates = query bucket + Hamming-1 probes ≡ the oracle's
     hamming ≤ 1 filter."""
-    import hashlib
     import os as _os
 
     from text_extract_api_spark.functions.similarity import (
@@ -903,10 +919,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    store = f"/tmp/spark_graft_ann_store_{tag}_{ANN_PLANES}"
-    if not _os.path.isdir(store):
+    store, ok_marker = _store_path("spark_graft_ann_store", sf_dir, str(ANN_PLANES))
+    if not _os.path.exists(ok_marker):
         build_bucket_store(emb, store, ANN_PLANES, EMB_DIMS)
+        open(ok_marker, "w").close()
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -929,7 +945,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at build time; the r1 design re-assigned the corpus per query).
     Same results as the live ivf_topk / the oracle — assignment and probe
     selection are deterministic."""
-    import hashlib
     import os as _os
 
     from text_extract_api_spark.functions.similarity import (
@@ -938,10 +953,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    store = f"/tmp/spark_graft_ivf_store_{tag}_{IVF_STRIDE}"
-    if not _os.path.isdir(store):
+    store, ok_marker = _store_path("spark_graft_ivf_store", sf_dir, str(IVF_STRIDE))
+    if not _os.path.exists(ok_marker):
         build_ivf_store(emb, store, centroid_stride=IVF_STRIDE)
+        open(ok_marker, "w").close()
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]

@@ -63,8 +63,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         F.array(
             F.struct(
                 kind.alias("kind"),
-                # text-ish payloads decode inline; media spans carry no text
-                F.when(kind.isin(*TEXT_KINDS), F.decode("content", "UTF-8"))
+                # text-ish payloads decode inline (try_cast = lenient decode,
+                # malformed bytes → U+FFFD: one latin-1 file must not abort
+                # the run; strict F.decode throws in Spark 4); media spans
+                # carry no text
+                F.when(
+                    kind.isin(*TEXT_KINDS),
+                    F.coalesce(F.col("content").try_cast("string"), F.lit("")),
+                )
                 .otherwise(F.lit(""))
                 .alias("text"),
                 F.when(~kind.isin(*TEXT_KINDS), F.col("path"))

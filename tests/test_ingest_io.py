@@ -222,3 +222,45 @@ def test_resize_stub_integer_scaling():
         assert 1 <= min(ow, oh) <= 64
         assert data.startswith(b"RESIZESTUB:")
         assert hashlib.md5(payload).hexdigest().encode() in data
+
+
+def test_sniff_survives_poison_bytes(spark):
+    """Regression (r2 review): unrecognized binary formats and truncated
+    multibyte text fall into the html-check branch; a strict UTF-8 decode
+    there killed the whole job. Sniff must be total over arbitrary bytes."""
+    rows = [
+        ("mp3", bytes.fromhex("FFFB9064") + b"\x00" * 8),
+        ("bmp", b"BM\x8a\x02\x00\x00"),
+        ("split_mb", b"12345678" + "é".encode()[0:1]),  # cut mid-codepoint
+        ("latin1", "café".encode("latin-1")),
+        ("doctype", b"<!DOCTYPE html><html>ok"),
+    ]
+    df = spark.createDataFrame(rows, "tag string, content binary")
+    got = {r["tag"]: r["fmt"] for r in ingest_binary(df).collect()}
+    assert got["doctype"] == "html"
+    for tag in ("mp3", "bmp", "split_mb", "latin1"):
+        assert got[tag] == "text"  # unknown bytes degrade, never crash
+
+
+def test_raw_files_job_tolerates_non_utf8(spark, tmp_path):
+    """Regression (r2 review): one latin-1 text file must not abort the
+    run — lenient decode substitutes U+FFFD and the doc survives."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import raw_files_extract
+
+    inp = tmp_path / "files"
+    inp.mkdir()
+    (inp / "ok.txt").write_bytes(b"clean ascii")
+    (inp / "legacy.txt").write_bytes("caf\xe9 au lait".encode("latin-1"))
+
+    out = str(tmp_path / "out")
+    summary = raw_files_extract.main(["--input", str(inp), "--out", out], spark=spark)
+    assert summary["docs"] == 2
+    rows = {
+        os.path.basename(r["doc_id"]): r["spans"][0]["text"]
+        for r in spark.read.parquet(f"{out}/results").collect()
+    }
+    assert rows["ok.txt"] == "clean ascii"
+    assert "au lait" in rows["legacy.txt"]  # survived, lenient-decoded

@@ -23,6 +23,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .io import read_table, write_table
+from .partitioning import payload_size_col
+
+_PROGRESS_DDL = (
+    "run_id string, partition_id int, bucket int, status string, "
+    "docs_done long, spans_done long, bytes_done long"
+)
+
+
+def _milestone_row(
+    spark: SparkSession, run_id: str, run_ts: str, name: str, metrics: dict
+) -> DataFrame:
+    """One milestone progress row (shared by write_milestone and the merged
+    write_progress path — the schema must stay identical between them)."""
+    return (
+        spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    -1,
+                    -1,
+                    f"milestone:{name}",
+                    int(metrics.get("docs") or 0),
+                    int(metrics.get("spans") or 0),
+                    int(metrics.get("bytes") or 0),
+                )
+            ],
+            _PROGRESS_DDL,
+        )
+        .withColumn("updated_at", F.lit(run_ts).cast("timestamp"))
+        .coalesce(1)
+    )
 
 
 def bucket_col(doc_id: Column, n_buckets: int) -> Column:
@@ -66,17 +97,7 @@ def observe_extraction(results: DataFrame, name: str):
         obs,
         F.count(F.lit(1)).alias("docs"),
         F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("spans"),
-        F.coalesce(
-            F.sum(
-                F.aggregate(
-                    F.col("spans"),
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc
-                    + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long"),
-                )
-            ),
-            F.lit(0),
-        ).alias("bytes"),
+        F.coalesce(F.sum(payload_size_col()), F.lit(0)).alias("bytes"),
     )
     return observed, obs
 
@@ -93,27 +114,11 @@ def write_milestone(
     metrics — the per-wave analog of the reference's PROGRESS states
     (10/30/50/75, tasks.py:41-63). Milestone rows use bucket=-1 and never
     match the ``status == 'done'`` resume filter."""
-    row = [
-        (
-            run_id,
-            -1,
-            -1,
-            f"milestone:{milestone}",
-            int(metrics.get("docs") or 0),
-            int(metrics.get("spans") or 0),
-            int(metrics.get("bytes") or 0),
-        )
-    ]
-    marks = (
-        spark.createDataFrame(
-            row,
-            "run_id string, partition_id int, bucket int, status string, "
-            "docs_done long, spans_done long, bytes_done long",
-        )
-        .withColumn("updated_at", F.lit(run_ts).cast("timestamp"))
-        .coalesce(1)
+    write_table(
+        _milestone_row(spark, run_id, run_ts, milestone, metrics),
+        progress_loc,
+        mode="append",
     )
-    write_table(marks, progress_loc, mode="append")
 
 
 def poll_progress(spark: SparkSession, progress_loc: str, run_id: str) -> DataFrame:
@@ -162,13 +167,7 @@ def write_progress(
             F.sum(F.size("spans")).alias("spans_done"),
             # chars of extracted text only — a to_json over the span array
             # would re-serialize the whole corpus just for a progress metric
-            F.sum(
-                F.aggregate(
-                    F.col("spans"),
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long"),
-                )
-            ).alias("bytes_done"),
+            F.sum(payload_size_col()).alias("bytes_done"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -183,23 +182,9 @@ def write_progress(
     )
     if milestone is not None:
         name, metrics = milestone
-        spark = results.sparkSession
-        mrow = spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    -1,
-                    -1,
-                    f"milestone:{name}",
-                    int(metrics.get("docs") or 0),
-                    int(metrics.get("spans") or 0),
-                    int(metrics.get("bytes") or 0),
-                )
-            ],
-            "run_id string, partition_id int, bucket int, status string, "
-            "docs_done long, spans_done long, bytes_done long",
-        ).withColumn("updated_at", F.lit(run_ts).cast("timestamp"))
-        marks = marks.unionByName(mrow)
+        marks = marks.unionByName(
+            _milestone_row(results.sparkSession, run_id, run_ts, name, metrics)
+        )
     # one marker row per bucket — without the coalesce this writes B files of
     # one row each and pays B task-commits for a KB of data
     write_table(marks.coalesce(1), progress_loc, mode="append")

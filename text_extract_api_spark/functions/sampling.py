@@ -94,9 +94,13 @@ def mix_weights(
 
     weight = target_share / actual_share, in ×10⁴ scaled integer math:
     weight_x10k = target_ppm · overall_tokens · 10⁴ / (10⁶ · stratum_tokens)
-    — exact integer division, bit-stable across engines. The final window
-    runs over one row per stratum (bounded by stratum cardinality, not
-    corpus size)."""
+    — exact integer division, bit-stable across engines. The numerator is
+    computed as DECIMAL(38,0): in bigint it overflows past ~2.3e9 total
+    tokens (a ~10 GB corpus — ANSI ARITHMETIC_OVERFLOW kills the job),
+    while decimal(38) holds to ~10²⁸ tokens and DuckDB's hugeint promotion
+    matches it. A stratum whose documents are all empty (0 tokens) gets
+    weight 0 instead of a divide-by-zero. The final window runs over one
+    row per stratum (bounded by stratum cardinality, not corpus size)."""
     per = docs.groupBy(stratum_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(token_col).cast("bigint").alias("total_tokens"),
@@ -110,10 +114,18 @@ def mix_weights(
         t = F.when(cond, F.lit(ppm)) if t is None else t.when(cond, F.lit(ppm))
     t = t.otherwise(F.lit(0))
     return per.withColumn(
-        "_num", (t * overall * F.lit(10000)).cast("bigint")
+        "_num",
+        t.cast("decimal(38,0)") * overall.cast("decimal(38,0)") * F.lit(10000),
     ).select(
         stratum_col,
         "n_docs",
         "total_tokens",
-        F.expr("_num div (1000000 * total_tokens)").alias("weight_x10k"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr(
+                "CAST(_num div (CAST(1000000 AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("weight_x10k"),
     )

@@ -73,10 +73,14 @@ def sniff_fmt_col(content: Column) -> Column:
     for _, fmt, prefix in MAGIC_PREFIXES:
         cond = F.substring(content, 1, len(prefix)) == F.lit(prefix)
         expr = F.when(cond, F.lit(fmt)) if expr is None else expr.when(cond, F.lit(fmt))
-    # html detection is case-insensitive on the decoded text prefix
-    # (the reference delegates this distinction to libmagic's text heuristics)
-    doctype = F.upper(F.decode(F.substring(content, 1, 9), "UTF-8")) == "<!DOCTYPE"
-    htag = F.upper(F.decode(F.substring(content, 1, 5), "UTF-8")) == "<HTML"
+    # html detection is case-insensitive on the decoded text prefix (the
+    # reference delegates this distinction to libmagic's text heuristics).
+    # try_cast, NOT decode: strict UTF-8 decode throws on any payload that
+    # matched no binary magic and isn't clean ASCII at the cut (mp3/bmp/tiff
+    # fall through to here!) — a poison row must not kill the job. try_cast
+    # substitutes U+FFFD for malformed bytes, which simply fails the match.
+    doctype = F.upper(F.substring(content, 1, 9).try_cast("string")) == "<!DOCTYPE"
+    htag = F.upper(F.substring(content, 1, 5).try_cast("string")) == "<HTML"
     return expr.when(doctype | htag, F.lit("html")).otherwise(F.lit("text"))
 
 

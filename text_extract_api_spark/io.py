@@ -92,9 +92,14 @@ def list_tables(spark: SparkSession, base: str) -> list[str]:
     local_filesystem.py:42-50 glob / aws_s3.py list_objects).
 
     ``base`` is an Iceberg namespace (``cat.db``) or a filesystem directory
-    (fallback: immediate subdirectories holding parquet data)."""
+    (fallback: immediate subdirectories holding parquet data). A bare name
+    that is not a known namespace (e.g. a relative directory) falls through
+    to the filesystem listing instead of raising."""
     if "://" not in base and "/" not in base and iceberg_available(spark):
-        return [r.tableName for r in spark.sql(f"SHOW TABLES IN {base}").collect()]
+        try:
+            return [r.tableName for r in spark.sql(f"SHOW TABLES IN {base}").collect()]
+        except Exception:
+            pass  # not a catalog namespace — treat as a directory below
     import os
 
     if not os.path.isdir(base):
