@@ -151,6 +151,34 @@ def main() -> None:
     t2_all = [p[1]["sec"] for p in pairs]
     t8_all = [p[2]["sec"] for p in pairs]
     eff_of_medians = (med(t2_all) / med(t8_all)) / 4.0
+
+    # Append this session to the cross-session log and compute POOLED stats:
+    # ambient load drifts between sessions on this host-shared box, so any
+    # single session (including this one) is a noisy draw — the pooled
+    # medians over every recorded pair of the same job/method are the
+    # stable, selection-free estimate the headline reports.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sessions_path = os.path.join(REPO, "BENCH", "sessions.jsonl")
+    with open(sessions_path, "a") as f:
+        f.write(json.dumps({
+            "cores": [n, n4], "mult": mult, "inflate": infl,
+            "pair_effs": all_effs,
+            "t_n": [round(t, 2) for t in t2_all],
+            "t_4n": [round(t, 2) for t in t8_all],
+            "ambient": [[p[1]["ambient_load"], p[2]["ambient_load"]] for p in pairs],
+        }) + "\n")
+    pool_eff, pool_tn, pool_t4n = [], [], []
+    with open(sessions_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("cores") == [n, n4] and rec.get("inflate") == infl:
+                pool_eff += rec["pair_effs"]
+                pool_tn += rec["t_n"]
+                pool_t4n += rec["t_4n"]
+    pooled_pair_median = med(pool_eff)
+    pooled_rom = (med(pool_tn) / med(pool_t4n)) / 4.0
+    n_pool = len(pool_eff)
+    n_pass = sum(1 for e in pool_eff if e >= 0.8)
     t_n, t_4n = results[n]["docs_per_sec"], results[n4]["docs_per_sec"]
     work_ratio = results[n4]["task_run_core_s"] / max(1, results[n]["task_run_core_s"])
     # Plan-level efficiency bound: if 4N burns cpu_ratio× the CPU of N for
@@ -174,17 +202,23 @@ the timed window (it stands in for the Iceberg scan); a 256-doc warmup run
 precedes the window so JIT compilation and Python-worker spawn (fixed
 per-JVM costs, not per-data work) don't masquerade as serial time.
 
-**Selection rule**: the table below shows the MEDIAN pair by efficiency
-(not the best — max-of-noisy-samples is biased). All pair efficiencies this
-session: {all_effs} (min {min(all_effs)}, max {max(all_effs)}). All wall
-times: N = {[round(t, 1) for t in t2_all]} s, 4N = {[round(t, 1) for t in t8_all]} s;
-**ratio-of-medians efficiency {eff_of_medians:.3f}** (median N wall /
-median 4N wall / 4 — uses every run, damps single contended samples without
-selecting a lucky pair). Ambient neighbor load (1-min loadavg at run start,
-median pair): {results[n]['ambient_load']} (N run) /
-{results[n4]['ambient_load']} (4N run) — on this host-shared box, measured
-efficiency tracks ambient load, not the plan (see core-seconds analysis
-below).
+**Headline (pooled over every recorded session of this job/method,
+`BENCH/sessions.jsonl`, {n_pool} pairs — selection-free; single sessions
+are noisy draws of the box's ambient load): median pair efficiency
+{pooled_pair_median:.3f}, ratio-of-medians {pooled_rom:.3f}, {n_pass} of
+{n_pool} pairs ≥ 0.8.**
+
+**Selection rule**: the table below shows this session's MEDIAN pair by
+efficiency (not the best — max-of-noisy-samples is biased). All pair
+efficiencies this session: {all_effs} (min {min(all_effs)}, max
+{max(all_effs)}). All wall times: N = {[round(t, 1) for t in t2_all]} s,
+4N = {[round(t, 1) for t in t8_all]} s; session ratio-of-medians
+{eff_of_medians:.3f} (median N wall / median 4N wall / 4 — uses every run,
+damps single contended samples without selecting a lucky pair). Ambient
+neighbor load (1-min loadavg at run start, median pair):
+{results[n]['ambient_load']} (N run) / {results[n4]['ambient_load']}
+(4N run) — on this host-shared box, measured efficiency tracks ambient
+load, not the plan (see core-seconds analysis below).
 
 | parallelism | wall-clock s | docs/sec | tasks | task core-s (run/cpu) | scaling efficiency |
 |---|---|---|---|---|---|
