@@ -1281,6 +1281,22 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 inverse: structured-field extraction from a JSON payload column
+    (from_json with an explicit schema — schema-on-read stays codegen, no
+    Python) + rollup over the extracted field."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+        )
+    )
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -1382,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_props_extract": q_events_props_extract,
     }
 
 
@@ -1618,5 +1635,13 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
        COUNT(*) AS n_events,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) AS total_value
 FROM events GROUP BY 1, 2
+""".strip(),
+        "events_props_extract": """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+)
+SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_total
+FROM e GROUP BY 1, 2
 """.strip(),
     }
