@@ -447,7 +447,7 @@ WITH p AS (
       WHEN 0 THEN '%PDF-1.7' || chr(10)
       WHEN 3 THEN 'GIF89a'
       WHEN 4 THEN '<!DOCTYPE html><html>'
-      WHEN 5 THEN '<HTML><BODY>'
+      WHEN 5 THEN chr(65279) || ' ' || chr(10) || '<HTML><BODY>'
       WHEN 8 THEN ''
       ELSE NULL END AS pre,
     CASE doc_id % 9 WHEN 1 THEN 'FFD8FFE0' WHEN 2 THEN '89504E470D0A1A0A' ELSE NULL END AS binpre,
@@ -468,8 +468,8 @@ f AS (
       WHEN binpre = '89504E470D0A1A0A' THEN 'png'
       WHEN binpre LIKE 'FFD8FF%' THEN 'jpeg'
       WHEN sp IS NOT NULL AND substring(sp, 1, 4) = 'GIF8' THEN 'gif'
-      WHEN sp IS NOT NULL AND upper(substring(sp, 1, 9)) = '<!DOCTYPE' THEN 'html'
-      WHEN sp IS NOT NULL AND upper(substring(sp, 1, 5)) = '<HTML' THEN 'html'
+      WHEN sp IS NOT NULL AND upper(substring(ltrim(sp, chr(65279) || ' ' || chr(9) || chr(10) || chr(13)), 1, 9)) = '<!DOCTYPE' THEN 'html'
+      WHEN sp IS NOT NULL AND upper(substring(ltrim(sp, chr(65279) || ' ' || chr(9) || chr(10) || chr(13)), 1, 5)) = '<HTML' THEN 'html'
       ELSE 'text'
     END AS fmt
   FROM s
@@ -888,19 +888,51 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _store_path(prefix: str, sf_dir: str, variant: str) -> tuple[str, str]:
-    """Index-store location keyed by the SOURCE DATA (path + size + mtime of
-    embeddings.parquet), plus the build-success marker path. isdir alone is
-    not a build marker — write.parquet creates the directory before
-    completing, so a crashed build or a regenerated corpus must invalidate."""
+    """Index-store location keyed by a CONTENT FINGERPRINT of the source
+    data (sorted part-file names + sizes + ns-resolution mtimes), plus the
+    build-success marker path. Directory-level st_size/whole-second st_mtime
+    (the r2 key) can alias a corpus regenerated within the same second
+    (ADVICE r2); isdir alone is not a build marker — write.parquet creates
+    the directory before completing."""
     import hashlib
     import os as _os
 
     src = f"{sf_dir}/embeddings.parquet"
-    st = _os.stat(src)
-    key = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    if _os.path.isdir(src):
+        parts = []
+        for name in sorted(_os.listdir(src)):
+            st = _os.stat(_os.path.join(src, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        key = src + "|" + "|".join(parts)
+    else:
+        st = _os.stat(src)
+        key = f"{src}:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     store = f"/tmp/{prefix}_{tag}_{variant}"
     return store, f"{store}/_BUILD_OK"
+
+
+def _ensure_store(build_fn, store: str, ok_marker: str) -> None:
+    """Build the index into a temp dir, mark success INSIDE it, then
+    atomically rename into place — a concurrent session either sees the
+    complete store or builds its own temp copy; nobody ever probes a
+    half-written store (ADVICE r2: check-then-build raced)."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(ok_marker):
+        return
+    tmp = f"{store}.build{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    open(f"{tmp}/_BUILD_OK", "w").close()
+    if _os.path.isdir(store) and not _os.path.exists(ok_marker):
+        _shutil.rmtree(store, ignore_errors=True)  # crashed prior build
+    try:
+        _os.rename(tmp, store)
+    except OSError:
+        # a concurrent builder renamed first — identical content, keep theirs
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,9 +952,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     store, ok_marker = _store_path("spark_graft_ann_store", sf_dir, str(ANN_PLANES))
-    if not _os.path.exists(ok_marker):
-        build_bucket_store(emb, store, ANN_PLANES, EMB_DIMS)
-        open(ok_marker, "w").close()
+    _ensure_store(
+        lambda d: build_bucket_store(emb, d, ANN_PLANES, EMB_DIMS), store, ok_marker
+    )
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -954,9 +986,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     store, ok_marker = _store_path("spark_graft_ivf_store", sf_dir, str(IVF_STRIDE))
-    if not _os.path.exists(ok_marker):
-        build_ivf_store(emb, store, centroid_stride=IVF_STRIDE)
-        open(ok_marker, "w").close()
+    _ensure_store(
+        lambda d: build_ivf_store(emb, d, centroid_stride=IVF_STRIDE), store, ok_marker
+    )
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1086,7 +1118,8 @@ def q_binary_ingest_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc))
         .when(m == 3, F.concat(F.lit(b"GIF89a"), enc))
         .when(m == 4, F.concat(F.lit(b"<!DOCTYPE html><html>"), enc))
-        .when(m == 5, F.concat(F.lit(b"<HTML><BODY>"), enc))
+        # BOM + whitespace before the tag: exercises the lenient html sniff
+        .when(m == 5, F.concat(F.lit(b"\xef\xbb\xbf \n<HTML><BODY>"), enc))
         .otherwise(enc)
     )
     plain = docs.filter(~m.isin(6, 7)).select("doc_id", payload.alias("content"))
@@ -1488,8 +1521,8 @@ SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_
 FROM documents
 """.strip(),
         "extraction_metrics_rollup": """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       (10000 * SUM(n_chars) + COUNT(*) // 2) // COUNT(*) AS avg_chars_x10k
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST((10000 * SUM(n_chars) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_chars_x10k
 FROM documents GROUP BY lang, source
 """.strip(),
         "quarantine_filter": """

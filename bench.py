@@ -61,16 +61,25 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]")
 
-    # --- flagship: full pipeline incl. result write (the BASELINE metric) ---
+    # --- flagship: full pipeline incl. result write (the BASELINE metric).
+    # Warmup pass + min-of-2 timed passes: the single-shot timing made the
+    # headline the least noise-protected number in the file (r2 verdict
+    # item 3 — the driver saw 11.0 s where a same-day local run saw 6.6 s).
+    ambient_load = os.getloadavg()[0]
     out_dir = tempfile.mkdtemp(prefix="bench_out_")
     try:
         docs, media = synthesize_interleaved(spark, sf_dir)
         docs = docs.persist()
         n_docs = docs.count()  # materialize input outside the timed window
-        t0 = time.time()
-        results, _ = run_extract_pipeline(spark, docs, media, None, "bench")
-        results.write.mode("overwrite").parquet(f"{out_dir}/results")
-        e2e_sec = time.time() - t0
+
+        def _run_flagship() -> float:
+            t0 = time.time()
+            results, _ = run_extract_pipeline(spark, docs, media, None, "bench")
+            results.write.mode("overwrite").parquet(f"{out_dir}/results")
+            return time.time() - t0
+
+        _run_flagship()  # warmup: JIT, codegen compile, shuffle-service spinup
+        e2e_sec = min(_run_flagship() for _ in range(2))
         docs.unpersist()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -116,6 +125,7 @@ def main() -> None:
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / e2e_sec, 2),
                 "cpus": cpus,
+                "ambient_load": round(ambient_load, 2),
                 "delta_vs_prev": delta_vs_prev,
             }
         )

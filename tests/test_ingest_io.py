@@ -53,6 +53,10 @@ def test_sniff_magic_priority_and_pdf_predicate(spark):
         ("zip_corrupt", b"PK\x03\x04 not really"),
         ("pptx", make_pptx([["s"]])),
         ("html_upper", b"<HTML><BODY>"),
+        # real-world HTML often leads with a BOM / whitespace / newline —
+        # libmagic tolerates it, so the sniff must too (ADVICE r2)
+        ("html_bom", b"\xef\xbb\xbf\n  <!doctype html><html>"),
+        ("html_ws", b"  \r\n<html lang=en>"),
         ("text", b"GIF not at start? no: plain"),
     ]
     df = spark.createDataFrame(rows, "tag string, content binary")
@@ -65,6 +69,8 @@ def test_sniff_magic_priority_and_pdf_predicate(spark):
     assert got["zip_corrupt"] == ("zip", "zip")
     assert got["pptx"] == ("pptx", "pptx")
     assert got["html_upper"] == ("html", "html")
+    assert got["html_bom"] == ("html", "html")
+    assert got["html_ws"] == ("html", "html")
     assert got["text"] == ("text", "text")
 
     pdf_flags = {

@@ -73,6 +73,13 @@ def test_yaml_config_errors(tmp_path):
     with pytest.raises(ValueError, match="Missing or invalid 'strategies' section"):
         load_registry_from_config(str(bad_section))
 
+    # empty YAML → safe_load returns None; must still be the documented
+    # ValueError, not a TypeError from `in None` (ADVICE r2)
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="Missing or invalid 'strategies' section"):
+        load_registry_from_config(str(empty))
+
     no_class = tmp_path / "noclass.yaml"
     no_class.write_text(
         textwrap.dedent(

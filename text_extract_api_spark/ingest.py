@@ -79,8 +79,15 @@ def sniff_fmt_col(content: Column) -> Column:
     # matched no binary magic and isn't clean ASCII at the cut (mp3/bmp/tiff
     # fall through to here!) — a poison row must not kill the job. try_cast
     # substitutes U+FFFD for malformed bytes, which simply fails the match.
-    doctype = F.upper(F.substring(content, 1, 9).try_cast("string")) == "<!DOCTYPE"
-    htag = F.upper(F.substring(content, 1, 5).try_cast("string")) == "<HTML"
+    # Tolerate a leading BOM / whitespace / newlines before the tag (libmagic
+    # does; byte-0-only matching demoted real HTML to 'text' — ADVICE r2).
+    # Bounded: only the first 64 decoded bytes are considered, so a row with
+    # pathological leading whitespace degrades to 'text', never to a scan.
+    stripped = F.regexp_replace(
+        F.substring(content, 1, 64).try_cast("string"), "^[\\s﻿]+", ""
+    )
+    doctype = F.upper(F.substring(stripped, 1, 9)) == "<!DOCTYPE"
+    htag = F.upper(F.substring(stripped, 1, 5)) == "<HTML"
     return expr.when(doctype | htag, F.lit("html")).otherwise(F.lit("text"))
 
 

@@ -119,8 +119,11 @@ def delete_table(spark: SparkSession, location: str) -> bool:
     Iceberg path: ``DROP TABLE``; fallback: recursive directory removal
     (parquet tables are directories)."""
     if _is_table_ident(spark, location):
+        # report whether anything was actually removed (ADVICE r2: the
+        # unconditional True contradicted the filesystem branch's contract)
+        existed = spark.catalog.tableExists(location)
         spark.sql(f"DROP TABLE IF EXISTS {location}")
-        return True
+        return existed
     import shutil
     import os
 

@@ -121,7 +121,11 @@ def load_registry_from_config(
         raise FileNotFoundError(f"Config file not found at path: {path}")
     with open(path) as f:
         config = yaml.safe_load(f)
-    if "strategies" not in config or not isinstance(config["strategies"], dict):
+    if (
+        not isinstance(config, dict)  # empty YAML → safe_load returns None
+        or "strategies" not in config
+        or not isinstance(config["strategies"], dict)
+    ):
         raise ValueError(
             f"Missing or invalid 'strategies' section in the {path} file"
         )

@@ -15,6 +15,8 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from text_extract_api_spark.session import get_spark
@@ -29,9 +31,17 @@ def canon(val) -> str:
     if val is None:
         return "<NULL>"
     if isinstance(val, float):
-        return repr(val)
+        # Covers np.float64 too (it subclasses float). A DuckDB HUGEINT or
+        # DECIMAL aggregate that reaches pandas as float64 renders as e.g.
+        # '662.0' here and mismatches Spark's '662' — exactly what the
+        # driver's hash gate sees (r2 verdict item 1).
+        if isinstance(val, np.floating) and np.isnan(val):
+            return "<NULL>"
+        return repr(float(val))
     if isinstance(val, bytes):
         return val.hex()
+    if isinstance(val, np.ndarray):
+        return str(val.tolist())
     return str(val)
 
 
@@ -70,8 +80,15 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Fetch via pandas (Arrow path), NOT .fetchall(): fetchall maps
+            # DuckDB HUGEINT/DECIMAL to native Python ints, masking the
+            # float64 coercion the driver's pandas-based hash gate applies.
+            ddf = res.fetchdf()
+            d_cols = list(ddf.columns)
+            d_rows = [
+                tuple(None if v is pd.NaT else v for v in row)
+                for row in ddf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
