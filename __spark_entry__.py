@@ -62,6 +62,7 @@ from text_extract_api_spark.synth import (
     HTML_PRE,
     synth_flat_spans,
     synthesize_interleaved,
+    synthesize_interleaved_office,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -149,6 +150,33 @@ _PDF_TEXT_SQL = (
     "WHEN length(chunk) > 0 THEN chunk ELSE '' END"
 )
 
+# Quarantine-aware pdf page concat: a page survives when it exists (synth
+# drops empty pages) AND the validity stub passes (md5 of its ASCII payload
+# not in the 'f' bit-rot slice — media.py CORRUPT_MD5_PREFIX). Surviving
+# pages concat in page order; a fully-quarantined ref extracts to ''.
+_P1 = "substring(chunk, 1, 60)"
+_P2 = "substring(chunk, 61, 60)"
+_V1 = f"(length(chunk) > 0 AND substring(md5({_P1}), 1, 1) <> 'f')"
+_V2 = f"(length(chunk) > 60 AND substring(md5({_P2}), 1, 1) <> 'f')"
+_PDF_QUARANTINED_TEXT_SQL = (
+    f"CASE WHEN {_V1} AND {_V2} THEN {_P1} || chr(10) || chr(10) || {_P2} "
+    f"WHEN {_V1} THEN {_P1} WHEN {_V2} THEN {_P2} ELSE '' END"
+)
+
+# Office span synthesis mirror (synth.synth_office_flat) + the extracted
+# text mirror: a single-paragraph docx / single-slide pptx built from the
+# doc's first chunk round-trips (XML-escape is lossless) to the chunk,
+# whitespace-normalized — same derivation as the office_extract oracle.
+OFFICE_SPANS_CTE = """
+ospans AS (
+  SELECT CAST(raw_id AS VARCHAR) AS doc_id, CAST(6 AS INT) AS "offset",
+         CASE WHEN eff_id % 20 = 4 THEN 'docx' ELSE 'pptx' END AS kind,
+         substring(text, 1, 120) AS chunk,
+         'office://' || CAST(eff_id AS VARCHAR) AS media_ref
+  FROM eff WHERE eff_id % 10 = 4
+)
+""".strip()
+
 EXTRACT_CTE = f"""
 extracted AS (
   SELECT doc_id, "offset", kind,
@@ -161,6 +189,29 @@ extracted AS (
       ELSE '' END AS text,
     CASE WHEN kind IN ('pdf','image') THEN media_ref ELSE '' END AS media_ref
   FROM spans
+)
+""".strip()
+
+# EXTRACT_CTE variant for the flagship-job corpus: quarantine-filtered pdf
+# pages + the office spans (docx/pptx media_refs are carried through — they
+# are MEDIA_KINDS in schema.py).
+EXTRACT_OFFICE_CTE = f"""
+extracted AS (
+  SELECT doc_id, "offset", kind,
+    CASE kind
+      WHEN 'text'     THEN {_anon_sql(_norm_sql('text'))}
+      WHEN 'html'     THEN {_anon_sql(_norm_sql('chunk'))}
+      WHEN 'markdown' THEN {_anon_sql(_strip_md_sql('text'))}
+      WHEN 'pii_text' THEN {_anon_sql(_norm_sql('text'))}
+      WHEN 'pdf'      THEN {_anon_sql(_PDF_QUARANTINED_TEXT_SQL)}
+      ELSE '' END AS text,
+    CASE WHEN kind IN ('pdf','image') THEN media_ref ELSE '' END AS media_ref
+  FROM spans
+  UNION ALL
+  SELECT doc_id, "offset", kind,
+         {_anon_sql(_norm_sql('chunk'))} AS text,
+         media_ref
+  FROM ospans
 )
 """.strip()
 
@@ -635,6 +686,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = synthesize_interleaved(spark, sf_dir)
     return extract_flat_no_cache(spark, docs, media)
+
+
+def q_pipeline_extract_office(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship job's full routed extraction, INCLUDING the office
+    (docx/pptx OOXML parse, office.py) legs and the media-validity
+    quarantine filter on the pdf page store (media.py verify stub; the
+    reference's PIL verify, image.py:43-48). Mirrors jobs/spans_extract.py
+    exactly — VERDICT r2 item 5's oracle-checked successor of
+    pipeline_extract_flat."""
+    from text_extract_api_spark.extractors.media import validate_media_pages
+
+    docs, media, blobs = synthesize_interleaved_office(spark, sf_dir)
+    media_ok = (
+        validate_media_pages(media)
+        .filter(F.col("valid"))
+        .select("media_ref", "page_no", "page_text")
+    )
+    return extract_flat_no_cache(spark, docs, media_ok, office_blobs=blobs)
 
 
 def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,6 +1454,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_flat": q_pipeline_extract_flat,
+        "pipeline_extract_office": q_pipeline_extract_office,
         "route_dispatch": q_route_dispatch,
         "content_hash": q_content_hash,
         "cache_anti_join": q_cache_anti_join,
@@ -1462,6 +1532,9 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUB
     )
     return {
         "pipeline_extract_flat": f"WITH {SYNTH_CTE},\n{EXTRACT_CTE}\n"
+        'SELECT doc_id, "offset", kind, text, media_ref FROM extracted',
+        "pipeline_extract_office": f"WITH {SYNTH_CTE},\n{OFFICE_SPANS_CTE},\n"
+        f"{EXTRACT_OFFICE_CTE}\n"
         'SELECT doc_id, "offset", kind, text, media_ref FROM extracted',
         "route_dispatch": f"WITH {SYNTH_CTE}\n"
         "SELECT kind, COUNT(*) AS n_spans FROM spans GROUP BY kind",

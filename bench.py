@@ -23,10 +23,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
+from text_extract_api_spark.extractors.media import validate_media_pages
 from text_extract_api_spark.pipeline import run_extract_pipeline
 from text_extract_api_spark.session import get_spark
-from text_extract_api_spark.synth import synthesize_interleaved
+from text_extract_api_spark.synth import synthesize_interleaved_office
 
 HEADLINE = [
     "pipeline_extract_flat",
@@ -68,19 +71,37 @@ def main() -> None:
     ambient_load = os.getloadavg()[0]
     out_dir = tempfile.mkdtemp(prefix="bench_out_")
     try:
-        docs, media = synthesize_interleaved(spark, sf_dir)
+        # the flagship corpus matches jobs/spans_extract.py since r3: office
+        # (docx/pptx) spans + blob sidecar, and the media-validity quarantine
+        # split runs inside the timed window (it is part of the job)
+        docs, media, blobs = synthesize_interleaved_office(spark, sf_dir)
         docs = docs.persist()
         n_docs = docs.count()  # materialize input outside the timed window
+        blobs = blobs.persist()
+        blobs.count()
 
         def _run_flagship() -> float:
             t0 = time.time()
-            results, _ = run_extract_pipeline(spark, docs, media, None, "bench")
-            results.write.mode("overwrite").parquet(f"{out_dir}/results")
+            validated = validate_media_pages(media).persist()
+            try:
+                validated.filter(~F.col("valid")).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # the quarantine sink write
+                media_ok = validated.filter(F.col("valid")).select(
+                    "media_ref", "page_no", "page_text"
+                )
+                results, _ = run_extract_pipeline(
+                    spark, docs, media_ok, None, "bench", office_blobs=blobs
+                )
+                results.write.mode("overwrite").parquet(f"{out_dir}/results")
+            finally:
+                validated.unpersist()
             return time.time() - t0
 
         _run_flagship()  # warmup: JIT, codegen compile, shuffle-service spinup
         e2e_sec = min(_run_flagship() for _ in range(2))
         docs.unpersist()
+        blobs.unpersist()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -36,11 +36,12 @@ from text_extract_api_spark.checkpoint import (  # noqa: E402
     observe_extraction,
     write_progress,
 )
+from text_extract_api_spark.extractors.media import validate_media_pages  # noqa: E402
 from text_extract_api_spark.io import read_table, write_table  # noqa: E402
 from text_extract_api_spark.partitioning import repartition_by_size  # noqa: E402
 from text_extract_api_spark.pipeline import run_extract_pipeline  # noqa: E402
 from text_extract_api_spark.session import get_spark  # noqa: E402
-from text_extract_api_spark.synth import synthesize_interleaved  # noqa: E402
+from text_extract_api_spark.synth import synthesize_interleaved_office  # noqa: E402
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -56,6 +57,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--input-table", default=None,
                     help="pre-built interleaved table location (skips synthesis)")
     ap.add_argument("--media-table", default=None)
+    ap.add_argument("--office-table", default=None,
+                    help="office blob sidecar (media_ref, payload) for the "
+                         "docx/pptx legs when using --input-table")
     ap.add_argument("--multiplier", type=int, default=1,
                     help="deterministic corpus scale-up for scaling benches")
     ap.add_argument("--inflate", type=int, default=1,
@@ -79,21 +83,47 @@ def main(argv: list[str] | None = None) -> dict:
     if args.input_table:
         docs = read_table(spark, args.input_table)
         media = read_table(spark, args.media_table) if args.media_table else None
+        office_blobs = (
+            read_table(spark, args.office_table) if args.office_table else None
+        )
     else:
-        docs, media = synthesize_interleaved(
+        docs, media, office_blobs = synthesize_interleaved_office(
             spark, args.sf_dir, args.multiplier, args.inflate
         )
         # Synthesis is a stand-in for the Iceberg scan; materialize it so the
         # timed window measures extraction, and so multi-action waves don't
         # recompute the synthesis joins.
         docs = docs.persist()
-        media = media.persist()
         docs.count()
-        media.count()
 
     results_loc = f"{args.out}/results"
     cache_loc = f"{args.out}/cache"
     progress_loc = f"{args.out}/progress"
+    quarantine_loc = f"{args.out}/quarantine"
+
+    # Media validity quarantine (reference: PIL verify raises per image,
+    # image.py:43-48; the engine splits bad pages out instead of failing the
+    # task). ONE decoder pass: verdicts + page text come out of the same
+    # Arrow stage, materialized by the quarantine write; the pdf leg then
+    # joins only surviving pages and the bad rows land in a queryable sink.
+    n_quarantined = 0
+    if media is not None:
+        validated = validate_media_pages(media).persist()
+        write_table(
+            validated.filter(~F.col("valid")).select("media_ref", "page_no", "reason")
+            .coalesce(4),
+            quarantine_loc, mode="overwrite",
+        )
+        n_quarantined = read_table(spark, quarantine_loc).count()
+        media = validated.filter(F.col("valid")).select(
+            "media_ref", "page_no", "page_text"
+        )
+    if office_blobs is not None:
+        # small sidecar (one row per office doc) but its lineage carries the
+        # synthesis joins + an Arrow stage — pin it so per-wave actions and
+        # the cache/progress re-reads don't rebuild the OOXML blobs
+        office_blobs = office_blobs.persist()
+        office_blobs.count()
 
     try:
         cache = read_table(spark, cache_loc)
@@ -112,7 +142,7 @@ def main(argv: list[str] | None = None) -> dict:
         # measurements (disclosed in BENCH/BASELINE.md).
         warm, _ = run_extract_pipeline(
             spark, docs.limit(256).select("doc_id", "spans", "bucket"),
-            media, cache, "warmup",
+            media, cache, "warmup", office_blobs=office_blobs,
         )
         warm.write.format("noop").mode("overwrite").save()
 
@@ -127,7 +157,7 @@ def main(argv: list[str] | None = None) -> dict:
         wave_docs = repartition_by_size(wave_docs, shuffle_n)
         results, _ = run_extract_pipeline(
             spark, wave_docs.select("doc_id", "spans", "bucket"),
-            media, cache, args.run_id,
+            media, cache, args.run_id, office_blobs=office_blobs,
         )
         # bucket is a pure function of doc_id — recompute instead of joining
         results = results.withColumn(
@@ -185,6 +215,7 @@ def main(argv: list[str] | None = None) -> dict:
         "run_id": args.run_id,
         "docs": total_docs,
         "spans": total_spans,
+        "quarantined": n_quarantined,
         "sec": round(wall, 3),
         "docs_per_sec": round(total_docs / wall, 2) if wall > 0 else None,
         "waves": args.waves,

@@ -110,3 +110,62 @@ def test_compute_once_per_distinct_payload(spark, synth):
         F.countDistinct(F.to_json("spans")).alias("variants")
     )
     assert per_hash.filter(F.col("variants") > 1).count() == 0
+
+
+def test_office_and_quarantine_legs(spark, sf_dir):
+    """Flagship-job corpus (VERDICT r2 item 5): docx/pptx spans extract real
+    OOXML text via the office legs, and quarantined (bit-rot) media pages
+    drop out of the pdf page concat."""
+    import hashlib
+
+    from text_extract_api_spark.extractors.media import (
+        CORRUPT_MD5_PREFIX,
+        validate_media_pages,
+    )
+    from text_extract_api_spark.synth import synthesize_interleaved_office
+
+    from .oracle import anonymize, norm
+
+    docs, media, blobs = synthesize_interleaved_office(spark, sf_dir)
+    validated = validate_media_pages(media).persist()
+    media_ok = validated.filter(F.col("valid")).select(
+        "media_ref", "page_no", "page_text"
+    )
+    flat = extract_flat_no_cache(spark, docs, media_ok, office_blobs=blobs)
+    office_rows = flat.filter(F.col("kind").isin("docx", "pptx")).collect()
+    assert office_rows, "no office spans in the office corpus"
+    # every office span extracted its blob's source chunk (normalized+anon)
+    src = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    text_by_id = dict(zip(src["doc_id"].astype(str), src["text"]))
+    for r in office_rows:
+        eff_id = int(r["media_ref"].split("://")[1])
+        expected = anonymize(norm(text_by_id[str(eff_id)][:120]))
+        assert r["text"] == expected, f"office span {r['media_ref']} mismatch"
+        assert r["offset"] == 6 and r["media_ref"].startswith("office://")
+
+    # quarantined pages must not appear in any pdf span's concatenated text
+    bad = validated.filter(~F.col("valid")).collect()
+    assert bad, "stub quarantine produced no invalid pages at this sf"
+    bad_texts = {r["page_text"] for r in bad}
+    assert all(
+        hashlib.md5(t.encode()).hexdigest().startswith(CORRUPT_MD5_PREFIX)
+        for t in bad_texts
+    )
+    pdf_texts = {
+        r["media_ref"]: r["text"] for r in flat.filter(F.col("kind") == "pdf").collect()
+    }
+    bad_by_ref = {}
+    for r in bad:
+        bad_by_ref.setdefault(r["media_ref"], []).append(r["page_text"])
+    hit = 0
+    for ref, pages in bad_by_ref.items():
+        if ref in pdf_texts:
+            hit += 1
+            for page in pages:
+                page_norm = anonymize(norm(page))
+                if page_norm:
+                    assert page_norm not in pdf_texts[ref].split("\n\n"), (
+                        f"quarantined page of {ref} leaked into the pdf span"
+                    )
+    assert hit > 0
+    validated.unpersist()

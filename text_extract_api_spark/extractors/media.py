@@ -119,6 +119,38 @@ def validate_images(df: DataFrame) -> DataFrame:
     )
 
 
+VALIDATED_PAGES_SCHEMA = (
+    "media_ref string, page_no int, page_text string, valid boolean, reason string"
+)
+
+
+def validate_media_pages(df: DataFrame) -> DataFrame:
+    """Validity verdicts WITH the page text passed through — ONE Arrow pass
+    feeding both the quarantine sink (invalid rows) and the valid-only page
+    store the pdf leg joins, so the flagship job never decodes a payload
+    twice. At real scale, materialize this frame (persist or write) before
+    splitting it into the two legs; filtering the lineage twice re-runs the
+    decoder."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            verdicts = payloads.map(verify_image)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "page_no": pdf["page_no"].astype("int32"),
+                    "page_text": pdf["page_text"],
+                    "valid": verdicts.map(lambda v: v[0]),
+                    "reason": verdicts.map(lambda v: v[1]),
+                }
+            )
+
+    return df.select("media_ref", "page_no", "page_text", "payload").mapInPandas(
+        op, VALIDATED_PAGES_SCHEMA
+    )
+
+
 IMG_TO_PDF_SCHEMA = "media_ref string, page_no int, pdf_md5 string, pdf_len long"
 
 

@@ -42,6 +42,8 @@ DUP_MOD = 20          # doc_id % 20 == 7  →  duplicate payload of doc_id-7
 DUP_REM = 7
 OVERSIZE_MOD = 97     # doc_id % 97 == 0  →  50× inflated text spans
 OVERSIZE_REPEAT = 50
+OFFICE_MOD = 10       # eff_id % 10 == 4  →  one extra office span (flagship
+OFFICE_REM = 4        # corpus only; eff_id % 20 == 4 docx, % 20 == 14 pptx)
 
 # HTML template pieces (single-line; newline handling differs across SQL
 # dialects so the synthesized HTML is newline-free).
@@ -138,11 +140,13 @@ def synth_flat_spans(
     explode, no Python.
     """
     docs = _with_effective_payload(load_documents(spark, sf_dir, multiplier, inflate))
-
     # inflate scales the chunk size with the inflated text so spans grow to
     # realistic sizes (the span-count distribution is unchanged: n_chars and
     # chunk scale together).
-    chunk_sz = CHUNK * inflate
+    return _flat_spans_from_eff(docs, CHUNK * inflate)
+
+
+def _flat_spans_from_eff(docs: DataFrame, chunk_sz: int) -> DataFrame:
     n_spans = F.least(
         F.lit(MAX_SPANS),
         F.greatest(F.lit(1), F.ceil(F.col("n_chars") / F.lit(float(chunk_sz)))),
@@ -226,6 +230,15 @@ def synth_media_pages(flat: DataFrame, chunk_sz: int = CHUNK) -> DataFrame:
     )
 
 
+def _group_interleaved(flat: DataFrame) -> DataFrame:
+    return flat.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("kind", "text", "media_ref", "offset")),
+            lambda a, b: a["offset"] - b["offset"],
+        ).alias("spans")
+    )
+
+
 def synthesize_interleaved(
     spark: SparkSession, sf_dir: str, multiplier: int = 1, inflate: int = 1
 ) -> tuple[DataFrame, DataFrame]:
@@ -235,13 +248,75 @@ def synthesize_interleaved(
     ``offset`` (never partition/arrival order — north-rule invariant).
     """
     flat = synth_flat_spans(spark, sf_dir, multiplier, inflate)
-    docs = (
-        flat.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("kind", "text", "media_ref", "offset")),
-                lambda a, b: a["offset"] - b["offset"],
-            ).alias("spans")
-        )
+    return _group_interleaved(flat), synth_media_pages(flat, CHUNK * inflate)
+
+
+def synth_office_flat(docs_eff: DataFrame, chunk_sz: int = CHUNK) -> DataFrame:
+    """One extra office span per eligible doc (``eff_id % 10 == 4``; docx
+    when ``eff_id % 20 == 4``, pptx when ``% 20 == 14``) at offset
+    ``MAX_SPANS`` — beyond every text span, so the rest of the synthesis
+    (and its oracles) is untouched. Keyed on ``eff_id`` so duplicate docs
+    share their partner's office payload and content-hash dedup still
+    collapses them. Carries ``_chunk`` (the blob's source text) for the
+    sidecar builder."""
+    eligible = docs_eff.filter(F.col("eff_id") % OFFICE_MOD == OFFICE_REM)
+    kind = F.when(
+        F.col("eff_id") % (2 * OFFICE_MOD) == OFFICE_REM, F.lit("docx")
+    ).otherwise(F.lit("pptx"))
+    return eligible.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(MAX_SPANS).cast("int").alias("offset"),
+        kind.alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("office://"), F.col("eff_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.substring(F.col("text"), 1, chunk_sz).alias("_chunk"),
     )
-    return docs, synth_media_pages(flat, CHUNK * inflate)
+
+
+def synth_office_blobs(office_flat: DataFrame) -> DataFrame:
+    """Office blob sidecar: (media_ref, payload) with real OOXML bytes built
+    from each office span's source chunk (office.py make_docx/make_pptx —
+    single paragraph / single slide). Iterator ``mapInPandas`` so only the
+    office rows cross the Arrow boundary."""
+    import pandas as pd  # noqa: PLC0415
+
+    from .extractors.office import make_docx, make_pptx  # noqa: PLC0415
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "payload": [
+                        make_docx([c or ""]) if k == "docx" else make_pptx([[c or ""]])
+                        for k, c in zip(pdf["kind"], pdf["_chunk"])
+                    ],
+                }
+            )
+
+    return (
+        office_flat.select("media_ref", "kind", "_chunk")
+        # dup docs share their partner's media_ref — blob store is a KV
+        .dropDuplicates(["media_ref"])
+        .mapInPandas(build, "media_ref string, payload binary")
+    )
+
+
+def synthesize_interleaved_office(
+    spark: SparkSession, sf_dir: str, multiplier: int = 1, inflate: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(docs, media_pages, office_blobs) — the flagship-job corpus: the
+    interleaved table PLUS deterministic docx/pptx spans whose OOXML payloads
+    live in the office blob sidecar. The plain ``synthesize_interleaved``
+    corpus is a strict subset (office spans only append at offset 6), so all
+    existing oracles stay valid on their own corpus."""
+    chunk_sz = CHUNK * inflate
+    docs_eff = _with_effective_payload(
+        load_documents(spark, sf_dir, multiplier, inflate)
+    )
+    flat = _flat_spans_from_eff(docs_eff, chunk_sz)
+    office = synth_office_flat(docs_eff, chunk_sz)
+    docs = _group_interleaved(flat.unionByName(office))
+    return docs, synth_media_pages(flat, chunk_sz), synth_office_blobs(office)
