@@ -51,9 +51,12 @@ HEADLINE = [
 ]
 
 
-def _time_noop(df) -> float:
+def _time_noop(make_df) -> float:
+    """Time plan CONSTRUCTION + execution: some operators (scoped-cache
+    dedup) run their consuming action eagerly inside the query function, so
+    timing only the final noop write would under-report them."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -111,11 +114,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         per_query[name] = round(
-            min(_time_noop(qs[name](spark, sf_dir)) for _ in range(2)), 3
+            min(
+                _time_noop(lambda name=name: qs[name](spark, sf_dir))
+                for _ in range(2)
+            ),
+            3,
         )
-        # some operators persist() intermediates; drop them so caches don't
-        # accumulate (and distort memory pressure) across the 16-query run
-        spark.catalog.clearCache()
+        # no clearCache needed: no operator pins caches anymore (dedup's
+        # multi-consumer intermediates materialize via reused exchanges)
 
     # per-query delta vs the most recent recorded round, so regressions are
     # visible round-over-round (VERDICT r1 item 10)
