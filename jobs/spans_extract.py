@@ -44,7 +44,7 @@ from text_extract_api_spark.session import get_spark  # noqa: E402
 from text_extract_api_spark.synth import synthesize_interleaved_office  # noqa: E402
 
 
-def main(argv: list[str] | None = None) -> dict:
+def main(argv: list[str] | None = None, spark=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", required=True)
@@ -69,16 +69,23 @@ def main(argv: list[str] | None = None) -> dict:
                          "window (JIT + Python-worker warmup for benches)")
     args = ap.parse_args(argv)
 
-    spark = get_spark(
-        "spans_extract", master=args.master,
-        extra_conf={
-            "spark.sql.sources.partitionOverwriteMode": "dynamic",
-            # v2 commit: tasks move their own files at task-commit instead of
-            # the driver serially renaming every file at job end — the serial
-            # rename is pure non-scaling overhead on multi-file writes
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
-        },
-    )
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            "spans_extract", master=args.master,
+            extra_conf={
+                "spark.sql.sources.partitionOverwriteMode": "dynamic",
+                # v2 commit: tasks move their own files at task-commit instead
+                # of the driver serially renaming every file at job end — the
+                # serial rename is pure non-scaling overhead on multi-file
+                # writes
+                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            },
+        )
+    else:
+        # injected session (tests): dynamic overwrite is a correctness
+        # requirement for idempotent per-wave re-writes, set it at runtime
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     if args.input_table:
         docs = read_table(spark, args.input_table)
@@ -176,6 +183,13 @@ def main(argv: list[str] | None = None) -> dict:
             results.repartition(args.n_buckets, "bucket"),
             results_loc, mode="overwrite", partition_by=["run_id", "bucket"],
         )
+        # Test-only crash injection INSIDE the claimed at-most-one-wave
+        # window (checkpoint.py:10-13): results written, markers not — a
+        # resume must recompute exactly this wave and stay exactly-once.
+        if os.environ.get("SPARK_GRAFT_CRASH_AFTER_RESULTS") == f"wave_{wave}":
+            raise RuntimeError(
+                f"injected crash: wave {wave} results written, markers not"
+            )
         # Cache entries, progress markers, and run metrics all derive from
         # the *written* results (cheap columnar re-read) — not from the
         # results lineage, which would recompute the extraction subtree per
@@ -221,7 +235,9 @@ def main(argv: list[str] | None = None) -> dict:
         "waves": args.waves,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if own_session:
+        spark.stop()
+    # injected sessions: caller owns cache cleanup (tests clearCache)
     return summary
 
 
