@@ -860,6 +860,25 @@ def q_extraction_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F10 oracle coverage (r2 verdict item 8): the Observation-based
+    in-flight metrics (checkpoint.observe_extraction — the Celery
+    ``update_state`` analog, tasks.py:40-94) value-checked against the
+    corpus ground truth. The observation rides a consuming noop write, then
+    the driver-side scalar metrics become a 1-row frame (metrics ARE driver
+    scalars — the legitimate driver-side part of progress reporting)."""
+    from text_extract_api_spark.checkpoint import observe_extraction
+
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    observed, obs = observe_extraction(docs.select("doc_id", "spans"), "oracle")
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["docs"]), int(m["spans"]), int(m["bytes"]))],
+        "n_docs long, n_spans long, n_bytes long",
+    )
+
+
 def q_quarantine_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.filter(
@@ -1469,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_structuring": q_json_structuring,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
         "quarantine_filter": q_quarantine_filter,
+        "observed_metrics": q_observed_metrics,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1601,6 +1621,13 @@ FROM documents GROUP BY lang, source
         "quarantine_filter": """
 SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 'empty' ELSE 'too_short' END AS reason
 FROM documents WHERE n_chars < 60 OR length(trim(text)) = 0
+""".strip(),
+        "observed_metrics": f"""
+WITH {SYNTH_CTE}
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(length(text)) AS BIGINT) AS n_bytes
+FROM spans
 """.strip(),
         "token_count": """
 SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0

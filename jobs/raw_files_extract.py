@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     ap.add_argument("--out", required=True)
     ap.add_argument("--glob", default=None)
     ap.add_argument("--run-id", default="raw-0")
+    ap.add_argument("--run-ts", default="2026-01-01 00:00:00")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -90,6 +91,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         run_id=args.run_id, office_blobs=office_blobs,
     )
     results.write.mode("overwrite").parquet(f"{args.out}/results")
+
+    # done markers + metrics from the written results (cheap columnar
+    # re-read), so `tools/cli.py result` can poll this run like any other
+    from text_extract_api_spark.checkpoint import bucket_col, write_progress
+
+    written = spark.read.parquet(f"{args.out}/results").withColumn(
+        "bucket", bucket_col(F.col("doc_id"), 16)
+    )
+    write_progress(written, f"{args.out}/progress", args.run_id, args.run_ts)
 
     n = spark.read.parquet(f"{args.out}/results").count()
     summary = {

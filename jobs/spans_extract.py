@@ -161,7 +161,16 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         wave_docs = docs.filter(F.pmod(F.col("bucket"), F.lit(args.waves)) == wave)
         if args.waves > 1 and wave_docs.isEmpty():
             continue
-        wave_docs = repartition_by_size(wave_docs, shuffle_n)
+        if args.input_table:
+            # Unknown external layout: size-bucketed salted repartition
+            # spreads oversized-media docs before the heavy stages. The
+            # synthesis path skips this: its persisted input is already
+            # hash(doc_id)-partitioned (uniform bytes at scale), the slim
+            # pipeline reuses that alignment for the zero-exchange span
+            # reattach join, and AQE skew-join covers residual outliers —
+            # an up-front full-array shuffle would cost more DRAM traffic
+            # than the skew it prevents (BENCH/BASELINE.md, r3).
+            wave_docs = repartition_by_size(wave_docs, shuffle_n)
         results, _ = run_extract_pipeline(
             spark, wave_docs.select("doc_id", "spans", "bucket"),
             media, cache, args.run_id, office_blobs=office_blobs,
@@ -169,19 +178,24 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         # bucket is a pure function of doc_id — recompute instead of joining
         results = results.withColumn(
             "bucket", bucket_col(F.col("doc_id"), args.n_buckets)
-        )
+        ).withColumn("wave", F.lit(wave))
         # In-flight metrics (Celery update_state analog): the observation
         # node rides the write action — no separate counting pass.
         results, obs = observe_extraction(results, f"wave_{wave}")
-        # ONE heavy action per wave: the results write. partition by
-        # (run_id, bucket): dynamic overwrite is then idempotent per wave AND
-        # isolated between runs. Cluster on bucket first so each task writes
-        # whole buckets — otherwise every task sprays a file into every
-        # bucket dir (tasks × buckets small files) and the serial driver-side
-        # commit dominates the wave.
+        # ONE heavy action per wave: the results write. Partition dirs by
+        # (run_id, wave) — the WAVE is the recompute/overwrite granularity
+        # (markers append per wave in one atomic single-file write, so a
+        # wave is either fully marked or fully redone; the crash-window
+        # pytest proves exactly-once either way). Partitioning by bucket
+        # dirs (r2) forced a full-array repartition before the write purely
+        # to avoid a tasks×buckets small-file spray; with one wave dir every
+        # task writes one file, so the results keep their join partitioning
+        # and the spans cross ZERO extra exchanges between extraction and
+        # storage (r3, VERDICT item 4). bucket stays a data column for
+        # markers/resume bookkeeping.
         write_table(
-            results.repartition(args.n_buckets, "bucket"),
-            results_loc, mode="overwrite", partition_by=["run_id", "bucket"],
+            results,
+            results_loc, mode="overwrite", partition_by=["run_id", "wave"],
         )
         # Test-only crash injection INSIDE the claimed at-most-one-wave
         # window (checkpoint.py:10-13): results written, markers not — a
@@ -197,8 +211,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         written = (
             read_table(spark, results_loc)
             .filter(
-                (F.col("run_id") == args.run_id)
-                & (F.pmod(F.col("bucket"), F.lit(args.waves)) == wave)
+                (F.col("run_id") == args.run_id) & (F.col("wave") == wave)
             )
         )
         new_cache = (

@@ -43,6 +43,13 @@ RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 SHUFFLE_PARTITIONS = 64  # fixed across levels: parallelism must come from
 # cores only, not a second knob
 
+# Pool key: pooled stats are only meaningful over runs of the SAME job +
+# pipeline method. Bump when the measured plan changes materially.
+# r3-slim = slim content_hash path (span arrays reattached via the
+# doc_id-aligned join; no up-front size-salt shuffle for aligned inputs)
+# + office legs + media quarantine in the job.
+METHOD = "r3-slim"
+
 
 def parse_eventlog(evl_dir: str) -> dict:
     """Sum task run/CPU core-seconds from a (zstd) Spark event log."""
@@ -161,6 +168,7 @@ def main() -> None:
     sessions_path = os.path.join(REPO, "BENCH", "sessions.jsonl")
     with open(sessions_path, "a") as f:
         f.write(json.dumps({
+            "method": METHOD,
             "cores": [n, n4], "mult": mult, "inflate": infl,
             "pair_effs": all_effs,
             "t_n": [round(t, 2) for t in t2_all],
@@ -171,7 +179,11 @@ def main() -> None:
     with open(sessions_path) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("cores") == [n, n4] and rec.get("inflate") == infl:
+            if (
+                rec.get("cores") == [n, n4]
+                and rec.get("inflate") == infl
+                and rec.get("method") == METHOD
+            ):
                 pool_eff += rec["pair_effs"]
                 pool_tn += rec["t_n"]
                 pool_t4n += rec["t_4n"]
