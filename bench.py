@@ -33,6 +33,7 @@ from text_extract_api_spark.synth import synthesize_interleaved_office
 
 HEADLINE = [
     "pipeline_extract_flat",
+    "pipeline_extract_office",
     "dedup_minhash_neardups",
     "dedup_simhash",
     "dedup_embedding_cosine",
