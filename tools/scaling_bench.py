@@ -44,11 +44,14 @@ SHUFFLE_PARTITIONS = 64  # fixed across levels: parallelism must come from
 # cores only, not a second knob
 
 # Pool key: pooled stats are only meaningful over runs of the SAME job +
-# pipeline method. Bump when the measured plan changes materially.
+# pipeline method + measurement setup. Bump when either changes materially.
 # r3-slim = slim content_hash path (span arrays reattached via the
 # doc_id-aligned join; no up-front size-salt shuffle for aligned inputs)
 # + office legs + media quarantine in the job.
-METHOD = "r3-slim"
+# -pinned = both levels CPU-pinned with taskset so N really runs on N cores
+# (unpinned local[2] borrowed idle cores via GC/Python/commit threads and
+# understated the ratio).
+METHOD = "r3-slim-pinned"
 
 
 def parse_eventlog(evl_dir: str) -> dict:
@@ -95,9 +98,18 @@ def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
     env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(
         {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evl}
     )
+    # CPU-pin each level to exactly `cores` cores (r3): an UNPINNED local[2]
+    # JVM spills GC / Python-worker / commit threads onto idle cores, so "N"
+    # silently runs on >N cores and the measured N→4N ratio understates the
+    # plan's true scaling (observed t_N well under 4×t_4N on quiet runs —
+    # physically impossible for a real 2-core executor). A real cluster's
+    # executor cannot borrow cores; pinning models that faithfully for BOTH
+    # levels. Disclosed in BENCH/BASELINE.md.
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     try:
         proc = subprocess.run(
-            [
+            pin
+            + [
                 sys.executable,
                 os.path.join(REPO, "jobs", "spans_extract.py"),
                 "--sf-dir", sf_dir,
