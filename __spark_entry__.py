@@ -957,6 +957,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs → connected components → canonical doc per
+    cluster (large-star/small-star; clustering.py). The end product of the
+    dedup surface: 'keep one copy of each template chain'."""
+    from text_extract_api_spark.functions.clustering import neardup_clusters
+
+    pairs = minhash_near_dups(_docs(spark, sf_dir), threshold=NEARDUP_T).select(
+        "id_a", "id_b"
+    )
+    return neardup_clusters(pairs)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1499,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
         "dedup_simhash": q_dedup_simhash,
+        "neardup_clusters": q_neardup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1530,8 +1543,10 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_SHINGLE_CTE},\n"
         + _JACCARD_TAIL.replace("{t}", str(JACCARD_T))
     )
-    neardup_full = (
-        f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()},\n"
+    # Shared CTE chain ending in `verified` = the LSH-candidate → exact-
+    # Jaccard pair list; reused by the pair query and the cluster closure.
+    neardup_pair_ctes = (
+        f"{_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()},\n"
         + "cand AS (" + _LSH_PAIRS_SQL + "),\n"
         + """
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
@@ -1541,14 +1556,41 @@ common AS (
   JOIN sh a ON a.id = c.id_a
   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT c.id_a, c.id_b,
-       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.id = c.id_a
-JOIN sizes sb ON sb.id = c.id_b
-WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= """
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= """
         + str(NEARDUP_T)
+        + "\n)"
+    )
+    neardup_full = (
+        f"WITH {neardup_pair_ctes}\nSELECT id_a, id_b, jaccard FROM verified"
+    )
+    # Transitive closure over the verified pairs (small by construction at
+    # oracle scale): min-id label via recursive reachability. Mirrors
+    # clustering.connected_components (component-minimum cluster ids).
+    neardup_clusters_sql = (
+        f"WITH RECURSIVE {neardup_pair_ctes},\n"
+        + """
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(id, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(LEAST(id, MIN(r)) AS BIGINT) AS cluster_id,
+       id = LEAST(id, MIN(r)) AS is_canonical
+FROM reach
+GROUP BY id"""
     )
     return {
         "pipeline_extract_flat": f"WITH {SYNTH_CTE},\n{EXTRACT_CTE}\n"
@@ -1645,6 +1687,7 @@ FROM documents
         "dedup_jaccard_pairs": jaccard_full,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",
         "dedup_minhash_neardups": neardup_full,
+        "neardup_clusters": neardup_clusters_sql,
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

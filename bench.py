@@ -35,6 +35,7 @@ HEADLINE = [
     "pipeline_extract_flat",
     "pipeline_extract_office",
     "dedup_minhash_neardups",
+    "neardup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_cosine_topk",

@@ -1,0 +1,86 @@
+"""Connected-components / near-dup cluster resolution tests.
+
+Covers the large-star/small-star iteration (clustering.py): transitive
+chains, multi-component graphs, the shared-leaf convergence hazard, and
+determinism under input permutation.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.functions.clustering import (
+    connected_components,
+    neardup_clusters,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+
+
+def _cc_map(spark, edges, **kw):
+    rows = connected_components(_pairs(spark, edges), **kw).collect()
+    got = {}
+    for r in rows:
+        # a node must resolve to exactly one cluster
+        assert r.id not in got, f"node {r.id} assigned twice"
+        got[r.id] = r.cluster_id
+    return got
+
+
+def test_chain_resolves_transitively(spark):
+    # A~B, B~C, C~D ... — no direct A~D edge, one cluster anyway.
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _cc_map(spark, edges)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_components_and_unordered_pairs(spark):
+    edges = [(5, 3), (3, 9), (20, 17), (17, 21)]
+    got = _cc_map(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 17: 17, 20: 17, 21: 17}
+
+
+def test_shared_leaf_two_stars_merges(spark):
+    # 10 is a leaf of both star(1) and star(2): the chain-free probe alone
+    # would accept the two-star state; the unique-parent probe forces the
+    # merge (1 and 2 are connected THROUGH 10).
+    edges = [(10, 1), (11, 1), (10, 2), (12, 2)]
+    got = _cc_map(spark, edges)
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 12: 1}
+
+
+def test_determinism_under_permutation(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30)] + [(rng.randrange(100, 140), 100 + i) for i in range(20)]
+    a = _cc_map(spark, edges)
+    shuffled = list(edges)
+    rng.shuffle(shuffled)
+    flipped = [(b, a2) if i % 2 else (a2, b) for i, (a2, b) in enumerate(shuffled)]
+    b = _cc_map(spark, flipped)
+    assert a == b
+
+
+def test_self_loops_dropped(spark):
+    got = _cc_map(spark, [(4, 4), (4, 7)])
+    assert got == {4: 4, 7: 4}
+
+
+def test_neardup_clusters_canonical_flags(spark):
+    out = neardup_clusters(_pairs(spark, [(2, 1), (3, 2), (8, 9)])).collect()
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out}
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        8: (8, True),
+        9: (8, False),
+    }
+    # "drop the dups" contract: anti-join corpus against non-canonical rows
+    keep = {d for d, (_, canon) in got.items() if canon}
+    assert keep == {1, 8}
