@@ -45,6 +45,7 @@ from text_extract_api_spark.functions.similarity import (
     embedding_neardup_pairs,
     hyperplane_weight,
 )
+from text_extract_api_spark.functions import quality
 from text_extract_api_spark.functions.textstats import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -670,6 +671,90 @@ FROM r
 """.strip()
 
 
+def _repetition_sql() -> str:
+    """Gopher-style repetition signals (quality.repetition_signals twin).
+
+    The most-frequent-bigram count is computed with unnest + GROUP BY here
+    (set-oriented SQL); the engine computes it as a row-local sorted-run
+    fold — same value, different shape, which is exactly what the parity
+    gate should exercise.
+    """
+    thresholds = (
+        f"dup_line_frac > {quality.DUP_LINE_FRAC_MAX}"
+        f" OR top_bigram_frac > {quality.TOP_BIGRAM_FRAC_MAX}"
+        f" OR symbol_ratio > {quality.SYMBOL_RATIO_MAX}"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS n_tokens
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(w) AS BIGINT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS gram
+  FROM base WHERE len(w) >= 2
+),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+bgt AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bgc GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id,
+         CASE WHEN len(b.lines) > 0
+              THEN round(1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+                             / CAST(len(b.lines) AS DOUBLE), 4)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN t.tot IS NOT NULL AND t.tot > 0
+              THEN round(CAST(t.mx AS DOUBLE) / CAST(t.tot AS DOUBLE), 4)
+              ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN b.n_tokens > 0
+              THEN round(CAST(CAST(
+                     length(b.text) - length(replace(b.text, '#', ''))
+                     + (length(b.text) - length(replace(b.text, '...', ''))) / 3
+                     + length(b.text) - length(replace(b.text, '…', ''))
+                   AS INT) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 4)
+              ELSE 0.0 END AS symbol_ratio
+  FROM base b LEFT JOIN bgt t ON t.doc_id = b.doc_id
+)
+SELECT doc_id, dup_line_frac, top_bigram_frac, symbol_ratio,
+       ({thresholds}) AS rep_flagged
+FROM sig
+""".strip()
+
+
+def _decontaminate_sql() -> str:
+    """n-gram benchmark decontamination (quality.ngram_decontaminate twin).
+
+    Benchmark = docs with doc_id % 7 = 0 (the query uses the same
+    deterministic split); hits = DISTINCT shared 8-grams per corpus doc.
+    """
+    return """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh8 AS (
+  SELECT DISTINCT doc_id AS id, s.shingle
+  FROM words
+  CROSS JOIN UNNEST(
+    list_transform(range(1, CAST(len(w) AS BIGINT) - 6),
+                   i -> array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' '))
+  ) AS s(shingle)
+  WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT shingle FROM sh8 WHERE id % 7 = 0)
+SELECT c.id AS doc_id, CAST(COUNT(*) AS INT) AS n_hits
+FROM sh8 c JOIN bench b ON c.shingle = b.shingle
+WHERE c.id % 7 <> 0
+GROUP BY c.id
+""".strip()
+
+
 # ------------------------------------------------------------- Spark queries
 
 
@@ -955,6 +1040,70 @@ def q_dedup_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — row-local, zero shuffles."""
+    return quality.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 8-gram decontamination: docs with doc_id % 7 == 0 stand in
+    for the held-out eval set; everything else is the training corpus."""
+    docs = _docs(spark, sf_dir)
+    return quality.ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+
+
+QUALITY_MIN = 0.45  # drop threshold for the filter funnel (~p5 at sf0.01)
+
+
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop verdict — the end-to-end curation decision a
+    training-data pipeline actually ships, composed from the engine's own
+    operators with first-reason precedence:
+
+      near_dup (non-canonical member of a MinHash near-dup cluster)
+      → lang_und (language ID inconclusive)
+      → low_quality (composite quality score < QUALITY_MIN)
+      → repetition (Gopher-style repetition flags)
+      → keep
+
+    Plan shape: all signal columns are row-local expressions over one scan;
+    the only joins are the pair-scale cluster resolution and one left join
+    of the corpus against the non-canonical set. That join is hinted merge,
+    not broadcast: at web scale near-dup membership is corpus-scale (web
+    dedup routinely drops 30-50%), so a broadcast would OOM — AQE still
+    downgrades to broadcast when the set is genuinely small.
+    """
+    from text_extract_api_spark.functions.clustering import neardup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dups(docs, threshold=NEARDUP_T).select("id_a", "id_b")
+    noncanon = (
+        neardup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(True))
+    )
+    sig = quality.repetition_cols("text")
+    scored = docs.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("q"),
+        quality.rep_flagged_col(sig).alias("repf"),
+    )
+    return scored.join(noncanon.hint("merge"), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("is_dup"), F.lit("near_dup"))
+        .when(F.col("lang_pred") == "und", F.lit("lang_und"))
+        .when(F.col("q") < QUALITY_MIN, F.lit("low_quality"))
+        .when(F.col("repf"), F.lit("repetition"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
         "dedup_simhash": q_dedup_simhash,
         "neardup_clusters": q_neardup_clusters,
+        "quality_repetition": q_quality_repetition,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
+        "corpus_filter_funnel": q_corpus_filter_funnel,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1592,7 +1744,47 @@ SELECT CAST(id AS BIGINT) AS doc_id,
 FROM reach
 GROUP BY id"""
     )
+    # Funnel oracle: non-canonical near-dup members via the same recursive
+    # closure, then the lang/quality/repetition oracles as nested subqueries
+    # (first-reason precedence identical to the Spark CASE chain).
+    funnel_sql = (
+        f"WITH RECURSIVE {neardup_pair_ctes},\n"
+        + """
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(id, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+noncanon AS (
+  SELECT id FROM reach GROUP BY id HAVING LEAST(id, MIN(r)) <> id
+)
+SELECT d.doc_id,
+       CASE WHEN nc.id IS NOT NULL THEN 'near_dup'
+            WHEN l.lang_pred = 'und' THEN 'lang_und'
+            WHEN q.quality < """
+        + str(QUALITY_MIN)
+        + """ THEN 'low_quality'
+            WHEN rep.rep_flagged THEN 'repetition'
+            ELSE 'keep' END AS verdict
+FROM documents d
+LEFT JOIN noncanon nc ON nc.id = d.doc_id
+JOIN ("""
+        + _lang_id_sql()
+        + """) l ON l.doc_id = d.doc_id
+JOIN ("""
+        + _quality_sql()
+        + """) q ON q.doc_id = d.doc_id
+JOIN ("""
+        + _repetition_sql()
+        + ") rep ON rep.doc_id = d.doc_id"
+    )
     return {
+        "corpus_filter_funnel": funnel_sql,
         "pipeline_extract_flat": f"WITH {SYNTH_CTE},\n{EXTRACT_CTE}\n"
         'SELECT doc_id, "offset", kind, text, media_ref FROM extracted',
         "pipeline_extract_office": f"WITH {SYNTH_CTE},\n{OFFICE_SPANS_CTE},\n"
@@ -1688,6 +1880,8 @@ FROM documents
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",
         "dedup_minhash_neardups": neardup_full,
         "neardup_clusters": neardup_clusters_sql,
+        "quality_repetition": _repetition_sql(),
+        "decontaminate_ngrams": _decontaminate_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

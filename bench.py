@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_neardups",
     "neardup_clusters",
     "dedup_simhash",
+    "quality_repetition",
+    "decontaminate_ngrams",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -1,0 +1,198 @@
+"""Corpus-quality operators: repetition signals and benchmark decontamination.
+
+Two standard training-data filters the reference engine (a per-document HTTP
+service, tonner007/text-extract-api) has no analog for; both are mandated by
+the build contract's training-data-pipeline surface (SURVEY.md §2.11).
+
+- ``repetition_signals``: Gopher-style repetition statistics (Rae et al.,
+  "Scaling Language Models: Methods, Analysis & Insights from Training
+  Gopher", 2021, §A1.1) — duplicate-line fraction, most-frequent-bigram
+  fraction, symbol-to-word ratio — computed entirely with row-local Column
+  expressions (zero shuffles; at 100 TB the only cost is the scan).
+- ``ngram_decontaminate``: flag corpus documents sharing any word n-gram
+  with a benchmark/eval set (the standard n-gram decontamination pass, e.g.
+  GPT-3 appendix C / PaLM §7). The benchmark side is aggregated to a single
+  broadcast row of distinct shingles, so the corpus is never shuffled —
+  membership is a row-local ``array_intersect``.
+
+Every expression keeps an exact DuckDB twin in ``__spark_entry__.oracle_sql``
+(dialect-identical split/replace/length semantics, doubles divided as
+doubles, round(_, 4)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import shingles_col
+from .textstats import WS_SPLIT, token_count_col
+
+# Gopher §A1.1-style cut-offs (documents exceeding any are flagged).
+DUP_LINE_FRAC_MAX = 0.30
+TOP_BIGRAM_FRAC_MAX = 0.20
+SYMBOL_RATIO_MAX = 0.10
+
+LINE_SPLIT = "\\r?\\n"
+
+
+def _bigrams_col(text_col: str) -> Column:
+    """ALL word bigrams (non-distinct — counts matter here, unlike the
+    dedup shingles). Same zip_with/slice construction as ``shingles_col``:
+    array arguments are evaluated once per row, never once per element."""
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    k = F.size(words) - 1
+    grams = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.when(k >= 1, F.slice(grams, 1, F.greatest(k, F.lit(1)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_run_col(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent values in a SORTED array
+    = the max multiplicity of any value. One O(n) fold per row (after the
+    O(n log n) sort) — the distributed alternative (explode + two groupBy
+    shuffles over every bigram of every document) moves the whole token
+    stream through the exchange; this form never leaves the row."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_cols(text_col: str) -> dict[str, Column]:
+    """The three repetition ratios as row-local Columns (shared by
+    ``repetition_signals`` and the corpus filter funnel).
+
+    - dup_line_frac: 1 − distinct/total over non-blank lines (0.0 if no
+      lines) — catches boilerplate headers/footers repeated down a page.
+    - top_bigram_frac: occurrences of the most frequent word bigram over
+      total bigrams (0.0 if < 2 tokens) — catches looping generations and
+      keyword stuffing.
+    - symbol_ratio: ('#' + '…'/'...' occurrences) / word count — catches
+      markup/ellipsis debris.
+
+    All ratios are round(_, 4) doubles so the DuckDB oracle is bit-equal.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), LINE_SPLIT), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double")
+            / n_lines.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+
+    grams = _bigrams_col(text_col)
+    n_grams = F.size(grams)
+    top_bigram = F.when(n_grams > 0,
+        F.round(
+            _max_run_col(F.array_sort(grams)).cast("double")
+            / n_grams.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+
+    n_tokens = token_count_col(F.col(text_col))
+    n_sym = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+        + (
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+        + F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
+    ).cast("int")
+    symbol = F.when(n_tokens > 0,
+        F.round(n_sym.cast("double") / n_tokens.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": dup_line,
+        "top_bigram_frac": top_bigram,
+        "symbol_ratio": symbol,
+    }
+
+
+def rep_flagged_col(sig: dict[str, Column]) -> Column:
+    """True iff any repetition signal is past its Gopher-style cut-off."""
+    return (
+        (sig["dup_line_frac"] > DUP_LINE_FRAC_MAX)
+        | (sig["top_bigram_frac"] > TOP_BIGRAM_FRAC_MAX)
+        | (sig["symbol_ratio"] > SYMBOL_RATIO_MAX)
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dup_line_frac, top_bigram_frac, symbol_ratio, rep_flagged)
+    per document — see ``repetition_cols`` for signal definitions."""
+    sig = repetition_cols(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        sig["dup_line_frac"].alias("dup_line_frac"),
+        sig["top_bigram_frac"].alias("top_bigram_frac"),
+        sig["symbol_ratio"].alias("symbol_ratio"),
+        rep_flagged_col(sig).alias("rep_flagged"),
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_hits) for corpus docs sharing ≥1 word n-gram with the
+    benchmark set; n_hits = number of DISTINCT shared n-grams.
+
+    Plan shape: the benchmark side collapses to ONE row holding its distinct
+    shingle set (eval suites are small by construction — 10^5–10^7 grams —
+    versus the 10^12-doc corpus), broadcast to every task; the corpus side
+    is a row-local shingle + ``array_intersect``, so the scan is the whole
+    cost and nothing shuffles. For a benchmark too big to broadcast as one
+    array, swap the broadcast row for a shuffle hash join on xxhash64(gram)
+    — the corpus side then explodes, which is why the broadcast form is the
+    default. Raw gram strings (not hashes) keep the DuckDB oracle exact.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(text_col, n)).alias("s"))
+        .distinct()
+        .agg(F.collect_set("s").alias("bench_sh"))
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
+        )
+        .crossJoin(F.broadcast(bench_sh))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("sh", "bench_sh")).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
