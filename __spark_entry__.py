@@ -19,14 +19,16 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from text_extract_api_spark.extractors.pii import PII_PATTERNS, TOKEN, anonymize_sql
 from text_extract_api_spark.functions.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_near_dups,
+    paragraph_dedup,
     simhash,
+    WS_SPLIT,
     MINHASH_SEEDS,
     LSH_BANDS,
     LSH_ROWS,
@@ -47,11 +49,13 @@ from text_extract_api_spark.functions.similarity import (
 )
 from text_extract_api_spark.functions import quality
 from text_extract_api_spark.functions.textstats import (
+    BPE_TOKEN_RE,
     LANG_MARKERS,
     STOPWORDS_EN,
     fingerprint_col,
     lang_id_col,
     quality_score_col,
+    token_count_bpe_col,
     token_count_col,
 )
 from text_extract_api_spark.pipeline import (
@@ -755,6 +759,52 @@ GROUP BY c.id
 """.strip()
 
 
+def _dedup_paragraphs_sql() -> str:
+    """Repeated-paragraph removal oracle (paragraph_dedup twin).
+
+    Chunking is set-oriented here (range + list slice — O(n²/k) doesn't
+    matter in an oracle); counts and reassembly mirror the engine exactly:
+    drop paragraphs with corpus-wide occurrence ≥ 2, fingerprint the kept
+    ones joined with a blank line in document order.
+    """
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w,
+         length(trim(text)) AS nt
+  FROM documents
+),
+paras0 AS (
+  SELECT doc_id,
+         ['{PARA_HEADER}'] ||
+         (CASE WHEN nt = 0 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(
+                      range(0, CAST(ceil(len(w) / {PARA_WORDS}.0) AS BIGINT)),
+                      i -> array_to_string(
+                             w[CAST(i * {PARA_WORDS} + 1 AS INT):CAST(i * {PARA_WORDS} + {PARA_WORDS} AS INT)],
+                             ' '))
+          END) ||
+         ['{PARA_FOOTER_PREFIX}' || source || '{PARA_FOOTER_SUFFIX}'] AS paras
+  FROM w
+),
+ex AS (
+  SELECT doc_id, len(paras) AS n_paras,
+         unnest(range(1, len(paras) + 1)) AS pos,
+         unnest(paras) AS para
+  FROM paras0
+),
+exk AS (SELECT doc_id, n_paras, pos, para, md5(para) AS pk FROM ex),
+cnt AS (SELECT pk, COUNT(*) AS n_occ FROM exk GROUP BY pk)
+SELECT e.doc_id,
+       CAST(MAX(e.n_paras) AS INT) AS n_paras,
+       CAST(COUNT(*) FILTER (WHERE c.n_occ < 2) AS INT) AS n_kept,
+       md5(COALESCE(string_agg(e.para, chr(10) || chr(10) ORDER BY e.pos)
+                    FILTER (WHERE c.n_occ < 2), '')) AS clean_fp
+FROM exk e JOIN cnt c ON c.pk = e.pk
+GROUP BY e.doc_id
+""".strip()
+
+
 # ------------------------------------------------------------- Spark queries
 
 
@@ -980,6 +1030,90 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", token_count_col(F.col("text")).cast("int").alias("n_tokens")
     )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish subword-boundary token counts side by side —
+    the pair a mix-budgeting pipeline actually wants (whitespace counts
+    under-estimate tokenizer output by the punctuation/digit-run factor).
+    The corpus text is pure word salad, so a deterministic punctuated
+    citation suffix (doc-varying digits, URL, punctuation — same trick as
+    the PII query's seeding) makes the two counters actually diverge."""
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" ref-"),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+        F.col("n_chars").cast("string"),
+        F.lit(": see http://ex.org/a?b=1."),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_col(seeded).cast("int").alias("n_tokens_ws"),
+        token_count_bpe_col(seeded).cast("int").alias("n_tokens_bpe"),
+    )
+
+
+PARA_WORDS = 12  # words per synthetic paragraph in the dedup_paragraphs corpus
+PARA_HEADER = "newsletter home about contact subscribe"
+PARA_FOOTER_PREFIX = "copyright "
+PARA_FOOTER_SUFFIX = " all rights reserved"
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-paragraph (boilerplate) removal over a
+    deterministically paragraph-structured corpus: every doc gets a shared
+    nav header, 12-word body paragraphs from its own text, and a per-source
+    copyright footer. The header is dropped everywhere; footers drop for
+    every source with ≥2 docs; body paragraphs survive unless two docs
+    collide exactly — precisely the C4/RefinedWeb boilerplate-line pass.
+
+    The body chunking is a single ``aggregate`` fold over the word array
+    (the array argument of a higher-order function is evaluated once per
+    row) — NOT ``transform(sequence(...), i -> slice(words, ...))``, which
+    re-evaluates the split once per paragraph element because Catalyst's
+    CSE does not reach inside lambda bodies (O(words²/k) per row).
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), WS_SPLIT)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("paras"),
+        F.array().cast("array<string>").alias("cur"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        cur = F.concat(acc["cur"], F.array(w))
+        full = F.size(cur) == PARA_WORDS
+        return F.struct(
+            F.when(
+                full, F.concat(acc["paras"], F.array(F.array_join(cur, " ")))
+            )
+            .otherwise(acc["paras"])
+            .alias("paras"),
+            F.when(full, F.array().cast("array<string>"))
+            .otherwise(cur)
+            .alias("cur"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["paras"], F.array(F.array_join(acc["cur"], " "))),
+        ).otherwise(acc["paras"])
+
+    body = F.when(
+        F.length(F.trim(F.col("text"))) > 0, F.aggregate(words, acc0, step, fin)
+    ).otherwise(F.array().cast("array<string>"))
+    paras = F.concat(
+        F.array(F.lit(PARA_HEADER)),
+        body,
+        F.array(
+            F.concat(
+                F.lit(PARA_FOOTER_PREFIX), F.col("source"), F.lit(PARA_FOOTER_SUFFIX)
+            )
+        ),
+    )
+    return paragraph_dedup(docs.select("doc_id", paras.alias("paras")))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_filter": q_quarantine_filter,
         "observed_metrics": q_observed_metrics,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1868,6 +2004,20 @@ SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS INT) AS n_tokens
 FROM documents
 """.strip(),
+        "token_count_bpe": f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' ref-' || CAST(doc_id AS VARCHAR) || '.'
+              || CAST(n_chars AS VARCHAR) || ': see http://ex.org/a?b=1.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(t), '[ \\t\\r\\n]+')) END AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(t, '{BPE_TOKEN_RE}')) AS INT) AS n_tokens_bpe
+FROM seeded
+""".strip(),
+        "dedup_paragraphs": _dedup_paragraphs_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
         "doc_fingerprint": """

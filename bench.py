@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "quality_repetition",
     "decontaminate_ngrams",
+    "dedup_paragraphs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",

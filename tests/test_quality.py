@@ -80,3 +80,84 @@ def test_decontaminate_empty_benchmark(spark):
     corpus = _docs(spark, [(1, "some words " * 10)])
     bench = _docs(spark, [(9, "short")])  # < 8 tokens -> no shingles
     assert ngram_decontaminate(corpus, bench).count() == 0
+
+
+# ---------------------------------------------------------------- r3: token counting + paragraph dedup
+
+
+def test_token_count_bpe_splits_punct_and_digit_runs(spark):
+    from text_extract_api_spark.functions.textstats import (
+        token_count_bpe_col,
+        token_count_col,
+    )
+
+    df = _docs(spark, [(1, "see http://ex.org/a?b=1. v2.3 done"), (2, ""), (3, "plain words only")])
+    out = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("ws"),
+            token_count_bpe_col(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    # "see http://ex.org/a?b=1. v2.3 done": ws = 4; bpe splits the URL and
+    # version into letter/digit/punct runs
+    assert out[1][0] == 4
+    assert out[1][1] == 18
+    assert out[2] == (0, 0)
+    assert out[3] == (3, 3)  # pure words: counters agree
+
+
+def _paras_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, paras array<string>")
+
+
+def test_paragraph_dedup_drops_corpus_wide_repeats(spark):
+    from text_extract_api_spark.functions.dedup import paragraph_dedup
+
+    df = _paras_df(
+        spark,
+        [
+            (1, ["HEADER", "unique one", "FOOTER"]),
+            (2, ["HEADER", "unique two", "FOOTER"]),
+            (3, ["HEADER", "unique three"]),
+        ],
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert len(out) == 3
+    assert out[1].n_paras == 3 and out[1].n_kept == 1
+    assert out[3].n_paras == 2 and out[3].n_kept == 1
+    import hashlib
+
+    assert out[2].clean_fp == hashlib.md5(b"unique two").hexdigest()
+
+
+def test_paragraph_dedup_all_boilerplate_doc_survives(spark):
+    from text_extract_api_spark.functions.dedup import paragraph_dedup
+    import hashlib
+
+    df = _paras_df(spark, [(1, ["X", "Y"]), (2, ["X", "Y"])])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # every paragraph dropped -> doc still present with n_kept=0, md5('')
+    assert out[1].n_kept == 0
+    assert out[1].clean_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_paragraph_dedup_preserves_document_order(spark):
+    from text_extract_api_spark.functions.dedup import paragraph_dedup
+    import hashlib
+
+    df = _paras_df(spark, [(1, ["b second", "DUP", "a first"]), (2, ["DUP"])])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # kept paragraphs joined in POSITION order, not sorted-text order
+    assert out[1].clean_fp == hashlib.md5(b"b second\n\na first").hexdigest()
+
+
+def test_paragraph_dedup_within_doc_repeat_also_dropped(spark):
+    from text_extract_api_spark.functions.dedup import paragraph_dedup
+
+    df = _paras_df(spark, [(1, ["loop", "loop", "solo"])])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # occurrence counting is corpus-wide incl. within-doc repeats (they are
+    # repetition junk too)
+    assert out[1].n_kept == 1

@@ -322,3 +322,62 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         *[F.when(vote(b) > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(SIMHASH_BITS)]
     )
     return hs.select("id", bits.alias("simhash"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-paragraph removal (the C4 / RefinedWeb
+    boilerplate-line pass): drop every paragraph whose exact text occurs
+    ``min_count``+ times across the corpus, keep the rest in document order.
+
+    Returns (doc_id, n_paras, n_kept, clean_fp) — clean_fp = md5 of the
+    kept paragraphs joined with a blank line (the cleaned document's
+    fingerprint; returning a hash keeps the comparison payload small while
+    still pinning the full reconstructed text byte-for-byte).
+
+    Scale design — exactly two shuffles, both on keys that stay small:
+    1. posexplode → groupBy(md5(para)) occurrence counts. Map-side partial
+       aggregation collapses each partition's repeats before the exchange,
+       so hot boilerplate (the whole point of the pass) shuffles one row
+       per partition, not one per occurrence. The join back to the exploded
+       frame reuses the same hash partitioning (co-partitioned equi-join).
+    2. groupBy(doc_id) reassembly. The drop/keep decision rides the SAME
+       aggregation as the reassembly (conditional collect_list of
+       (pos, para) structs — collect_list skips the NULLs that the
+       when()-without-otherwise emits for dropped paragraphs), so no
+       third shuffle and every document survives, including ones whose
+       every paragraph was boilerplate (n_kept = 0, clean_fp = md5('')).
+    No driver-side state; occurrence counts never leave the executors.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(paras_col).alias("n_paras"),
+        F.posexplode(paras_col).alias("pos", "para"),
+    ).withColumn("pk", F.md5("para"))
+    counts = exploded.groupBy("pk").agg(F.count("*").alias("n_occ"))
+    keep = F.col("n_occ") < min_count
+    return (
+        exploded.join(counts, "pk")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_paras").alias("n_paras"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("int").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("pos", "para"))
+                            )
+                        ),
+                        lambda x: x["para"],
+                    ),
+                    "\n\n",
+                )
+            ).alias("clean_fp"),
+        )
+    )

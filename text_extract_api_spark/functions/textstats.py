@@ -34,6 +34,23 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenizer regex, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB) agree exactly: a token is an optionally space-prefixed letter
+# run, digit run, or punctuation run. Explicit whitespace class (not \s):
+# Java's \s includes \x0B, RE2's does not.
+BPE_TOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\r\\n]+"
+
+
+def token_count_bpe_col(text: Column) -> Column:
+    """BPE-ish subword-boundary token count via the GPT-2-style pretokenizer
+    regex (the standard proxy for 'how many tokens will the tokenizer emit'
+    when budgeting a training mix). Pure codegen: one regexp_extract_all +
+    size per row, zero shuffles."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
+
+
 def _occurrences(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of a fixed substring —
     (len(s) - len(replace(s, n, ''))) / len(n), dialect-portable."""

@@ -27,6 +27,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import statistics
 import shutil
 import subprocess
 import sys
@@ -166,7 +167,10 @@ def main() -> None:
     # Robustness estimator using ALL runs: ratio of median wall times. Pair
     # efficiency is a ratio of two noisy samples; the median-of-each-side
     # ratio damps a single contended run without selecting a lucky pair.
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    # interpolated median (statistics.median), NOT sorted[n//2]: the upper
+    # median overstates the pooled headline by half a gap on even counts —
+    # a favorably-biased estimator has no place in the contract number.
+    med = statistics.median
     t2_all = [p[1]["sec"] for p in pairs]
     t8_all = [p[2]["sec"] for p in pairs]
     eff_of_medians = (med(t2_all) / med(t8_all)) / 4.0
