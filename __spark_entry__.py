@@ -48,8 +48,15 @@ from text_extract_api_spark.functions.similarity import (
     hyperplane_weight,
 )
 from text_extract_api_spark.functions import quality
+from text_extract_api_spark.functions.chunking import (
+    chunk_token_windows,
+    pack_sequences,
+)
 from text_extract_api_spark.functions.textstats import (
     BPE_TOKEN_RE,
+    URL_BLOCKLIST,
+    URL_RE,
+    url_domains_col,
     LANG_MARKERS,
     STOPWORDS_EN,
     fingerprint_col,
@@ -1116,6 +1123,65 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs.select("doc_id", paras.alias("paras")))
 
 
+CHUNK_WIDTH = 32  # words per sliding chunk window
+CHUNK_OVERLAP = 8
+PACK_BUDGET = 512  # BPE-proxy tokens per packed training sequence
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (RAG / long-doc training prep): width
+    32, overlap 8 over each document's word stream. Row-local fold, zero
+    shuffles — see chunking.chunk_token_windows for the CSE rationale."""
+    return chunk_token_windows(
+        _docs(spark, sf_dir), width=CHUNK_WIDTH, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing bookkeeping: lay docs end-to-end in
+    doc_id order, cut every 512 BPE-proxy tokens; report each doc's landing
+    sequence, offset, and span count. Distributed two-level prefix scan —
+    one range shuffle + a broadcast join of a partitions-count-sized frame
+    (never a single-partition global window)."""
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats + blocklist flag (the C4/RefinedWeb URL
+    filtering pass). The corpus text is word salad, so deterministic URLs
+    are seeded per doc (same trick as the PII query): a www-prefixed
+    source-derived domain on every doc and a mixed-case blocklisted ad
+    domain on every 5th — exercising the lowercase + www-strip
+    normalization. One explode + one groupBy(domain) shuffle with map-side
+    combine; extraction itself is pure codegen."""
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" via https://www."),
+        F.col("source"),
+        F.lit("-news."),
+        tld,
+        F.lit("/a/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" http://Ads.Example/banner?id=1 ")
+        ).otherwise(F.lit(" ")),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(url_domains_col(seeded)).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .withColumn("blocked", F.col("domain").isin(URL_BLOCKLIST))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
@@ -1787,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "chunk_windows": q_chunk_windows,
+        "pack_sequences": q_pack_sequences,
+        "url_domain_stats": q_url_domain_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2018,6 +2087,65 @@ SELECT doc_id,
 FROM seeded
 """.strip(),
         "dedup_paragraphs": _dedup_paragraphs_sql(),
+        "chunk_windows": f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w,
+         length(trim(text)) AS nt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         CASE WHEN nt = 0 THEN 0
+              WHEN len(w) <= {CHUNK_WIDTH} THEN 1
+              ELSE CAST(ceil((len(w) - {CHUNK_WIDTH}) / {CHUNK_WIDTH - CHUNK_OVERLAP}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM w
+),
+ex AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM c)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_no,
+       CAST(len(w[CAST(i * {CHUNK_WIDTH - CHUNK_OVERLAP} + 1 AS INT):CAST(i * {CHUNK_WIDTH - CHUNK_OVERLAP} + {CHUNK_WIDTH} AS INT)]) AS INT) AS n_chunk_tokens,
+       array_to_string(w[CAST(i * {CHUNK_WIDTH - CHUNK_OVERLAP} + 1 AS INT):CAST(i * {CHUNK_WIDTH - CHUNK_OVERLAP} + {CHUNK_WIDTH} AS INT)], ' ') AS chunk_text
+FROM ex
+""".strip(),
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {PACK_BUDGET} AS INT) AS seq_offset,
+       CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // {PACK_BUDGET}
+                  ELSE (cum - n_tokens) // {PACK_BUDGET} END)
+            - (cum - n_tokens) // {PACK_BUDGET} + 1 AS INT) AS n_seqs_spanned
+FROM c
+""".strip(),
+        "url_domain_stats": f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' via https://www.' || source || '-news.'
+              || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+              || '/a/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 5 = 0 THEN ' http://Ads.Example/banner?id=1 ' ELSE ' ' END AS t
+  FROM documents
+),
+hosts AS (SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}', 1)) AS h FROM seeded),
+d AS (SELECT doc_id, regexp_replace(lower(h), '^www\\.', '') AS domain FROM hosts)
+SELECT domain,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       domain IN ('{URL_BLOCKLIST[0]}', '{URL_BLOCKLIST[1]}') AS blocked
+FROM d GROUP BY domain
+""".strip(),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
         "doc_fingerprint": """

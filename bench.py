@@ -40,6 +40,8 @@ HEADLINE = [
     "quality_repetition",
     "decontaminate_ngrams",
     "dedup_paragraphs",
+    "chunk_windows",
+    "pack_sequences",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -1,0 +1,159 @@
+"""Sequence assembly for training pipelines: window chunking + packing.
+
+Two operators every LLM data pipeline runs between "clean corpus" and
+"training batches"; the reference engine (a per-document HTTP extraction
+service) has no analog, so these extend the SURVEY.md §2.11 surface:
+
+- ``chunk_token_windows``: split each document's token stream into
+  fixed-width sliding windows with overlap (the standard RAG / long-doc
+  training chunker). Entirely row-local — one ``aggregate`` fold per row,
+  zero shuffles; at 100 TB the only cost is the scan plus the (inherent)
+  output inflation.
+- ``pack_sequences``: "concatenate in corpus order, cut every ``budget``
+  tokens" sequence packing (how GPT-style pretraining actually batches:
+  docs are laid end-to-end and sliced into fixed-token sequences). Needs a
+  global prefix sum of token counts; computed scalably as a distributed
+  two-level scan — range-partition by doc order, per-partition window
+  cumsum, then add each partition's predecessor total via a broadcast join
+  of a partitions-count-sized frame (NO single-partition global window, NO
+  driver collect).
+
+Both keep exact DuckDB twins in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .textstats import WS_SPLIT, token_count_bpe_col
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding word-window chunks: starts at 0, stride, 2·stride, … where
+    stride = width − overlap; each chunk is ``width`` words (the last may be
+    shorter, and is emitted only if it contributes words beyond the previous
+    chunk's overlap). Empty documents produce no chunks.
+
+    Returns (doc_id, chunk_no, n_chunk_tokens, chunk_text).
+
+    Scale design: one ``aggregate`` fold per row over the word array — the
+    array argument of a higher-order function is evaluated once per row.
+    The tempting ``transform(sequence(0, n_chunks-1), i -> slice(words,
+    i*stride+1, width))`` re-evaluates the split once per chunk element
+    (Catalyst CSE does not reach inside lambda bodies → O(n²/stride) per
+    row). The fold keeps a ring of the trailing ``overlap`` words instead.
+    Zero shuffles; chunk rows inherit the input partitioning.
+    """
+    if not (0 <= overlap < width):
+        raise ValueError(f"need 0 <= overlap < width, got {overlap}/{width}")
+    stride = width - overlap
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.array().cast("array<string>").alias("cur"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        cur = F.concat(acc["cur"], F.array(w))
+        full = F.size(cur) == width
+        return F.struct(
+            F.when(full, F.concat(acc["chunks"], F.array(F.array_join(cur, " "))))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(full, F.slice(cur, stride + 1, overlap))
+            .otherwise(cur)
+            .alias("cur"),
+        )
+
+    def fin(acc: Column) -> Column:
+        # emit the tail iff it holds words beyond the previous chunk's
+        # overlap — or the doc was shorter than one window (no chunk yet)
+        emit = (F.size(acc["cur"]) > overlap) | (
+            (F.size(acc["chunks"]) == 0) & (F.size(acc["cur"]) > 0)
+        )
+        return F.when(
+            emit, F.concat(acc["chunks"], F.array(F.array_join(acc["cur"], " ")))
+        ).otherwise(acc["chunks"])
+
+    chunks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, F.aggregate(words, acc0, step, fin)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+        .select("doc_id", F.posexplode("chunks").alias("chunk_no", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.size(F.split(F.col("chunk_text"), WS_SPLIT))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: documents are laid end-to-end in
+    ``id_col`` order and the token stream is cut every ``budget`` tokens
+    (BPE-proxy counts, ``token_count_bpe_col``). Each doc reports which
+    training sequence its first token lands in, its offset there, and how
+    many sequences it spans — the bookkeeping a sequence-packing writer
+    needs to emit fixed-length samples with correct attention-mask resets.
+
+    Returns (doc_id, n_tokens, seq_id, seq_offset, n_seqs_spanned).
+
+    Scale design — a distributed two-level prefix scan, one range shuffle:
+    1. ``repartitionByRange(id_col)`` gives sorted, non-overlapping doc
+       ranges per partition (the same exchange a global sort would pay —
+       unavoidable for an order-dependent result).
+    2. In-partition cumulative sums via a window over
+       ``spark_partition_id()`` — each partition scans independently.
+    3. Per-partition totals (ONE row per partition, small by construction)
+       get their own exclusive prefix sum — a window over a
+       partitions-count-sized frame — and join back broadcast. No global
+       single-partition window over the data, no driver-side collect.
+    Token counting itself is row-local codegen.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count_bpe_col(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = W.partitionBy("pid").orderBy("doc_id")
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = local.groupBy("pid").agg(F.max("local_cum").alias("part_total"))
+    w_p = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("part_total").over(w_p), F.lit(0)).alias("part_before")
+    )
+    cum = (F.col("part_before") + F.col("local_cum")).alias("cum")
+    packed = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", "n_tokens", cum.cast("bigint").alias("cum")
+    )
+    before = F.col("cum") - F.col("n_tokens")
+    seq_id = F.floor(before / budget)
+    end_seq = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("cum") - 1) / budget)
+    ).otherwise(seq_id)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq_id.cast("bigint").alias("seq_id"),
+        (before % budget).cast("int").alias("seq_offset"),
+        (end_seq - seq_id + 1).cast("int").alias("n_seqs_spanned"),
+    )

@@ -114,6 +114,26 @@ def quality_score_col(text: Column) -> Column:
     return F.round(score + F.lit(1e-9), 4)
 
 
+# URL matcher, dialect-portable: scheme + host captured as group 1, rest of
+# the URL consumed by an explicit character class (no \S — Java and RE2
+# disagree on what \s covers).
+URL_RE = "https?://([A-Za-z0-9.-]+)[^ \\t\\r\\n]*"
+
+# Domains whose documents a curation pass drops outright (synthetic stand-in
+# for the C4/RefinedWeb URL blocklists — the real artifact is a config file).
+URL_BLOCKLIST = ["spam.example", "ads.example"]
+
+
+def url_domains_col(text: Column) -> Column:
+    """All URL host names in a document, lowercased, leading ``www.``
+    stripped — one ``regexp_extract_all`` per row, pure codegen. Duplicates
+    preserved (occurrence counts matter for domain stats)."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(URL_RE), F.lit(1)),
+        lambda d: F.regexp_replace(F.lower(d), "^www\\.", ""),
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 over the casefolded alphanumeric skeleton —
     robust to whitespace/punctuation edits (cheap canonical near-dup key)."""
