@@ -114,41 +114,62 @@ def pack_sequences(
 
     Returns (doc_id, n_tokens, seq_id, seq_offset, n_seqs_spanned).
 
-    Scale design — a distributed two-level prefix scan, one range shuffle:
-    1. ``repartitionByRange(id_col)`` gives sorted, non-overlapping doc
-       ranges per partition (the same exchange a global sort would pay —
-       unavoidable for an order-dependent result).
-    2. In-partition cumulative sums via a window over
-       ``spark_partition_id()`` — each partition scans independently.
-    3. Per-partition totals (ONE row per partition, small by construction)
+    Scale design — a distributed two-level prefix scan, ONE data shuffle:
+    1. slim projection (doc_id, n_tokens) — token counting is row-local
+       codegen and the text column never leaves the scan;
+    2. ``repartitionByRange(id_col)`` + ``sortWithinPartitions`` gives
+       globally ordered, non-overlapping doc ranges per partition (the same
+       exchange a global sort would pay — unavoidable for an
+       order-dependent result);
+    3. in-partition running sums via a narrow Arrow-batched ``mapInPandas``
+       (per-partition imperative scan — the one shape a window can't do
+       without a second full-data exchange: Catalyst can't prove the rows
+       are already partitioned by ``spark_partition_id()``, so
+       ``Window.partitionBy(pid)`` re-shuffles everything by pid);
+    4. per-partition totals (ONE row per partition, small by construction)
        get their own exclusive prefix sum — a window over a
        partitions-count-sized frame — and join back broadcast. No global
        single-partition window over the data, no driver-side collect.
-    Token counting itself is row-local codegen.
+    Bin arithmetic is exact integer ``div``/``%`` (never FLOOR over a
+    double quotient, which drifts past 2^53 total tokens).
     """
-    base = (
+
+    def _running(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        total = 0
+        for pdf in iterator:
+            csum = pdf["n_tokens"].cumsum() + total
+            total = int(csum.iloc[-1]) if len(csum) else total
+            pdf = pdf.assign(pid=pid, local_cum=csum)
+            yield pdf
+
+    local = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             token_count_bpe_col(F.col(text_col)).cast("bigint").alias("n_tokens"),
         )
         .repartitionByRange(n_parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            _running, "doc_id long, n_tokens bigint, pid long, local_cum bigint"
+        )
     )
-    w_in = W.partitionBy("pid").orderBy("doc_id")
-    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_in))
     totals = local.groupBy("pid").agg(F.max("local_cum").alias("part_total"))
     w_p = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "pid", F.coalesce(F.sum("part_total").over(w_p), F.lit(0)).alias("part_before")
     )
-    cum = (F.col("part_before") + F.col("local_cum")).alias("cum")
     packed = local.join(F.broadcast(offsets), "pid").select(
-        "doc_id", "n_tokens", cum.cast("bigint").alias("cum")
+        "doc_id",
+        "n_tokens",
+        (F.col("part_before") + F.col("local_cum")).cast("bigint").alias("cum"),
     )
     before = F.col("cum") - F.col("n_tokens")
-    seq_id = F.floor(before / budget)
+    seq_id = F.expr(f"(cum - n_tokens) div {budget}")
     end_seq = F.when(
-        F.col("n_tokens") > 0, F.floor((F.col("cum") - 1) / budget)
+        F.col("n_tokens") > 0, F.expr(f"(cum - 1) div {budget}")
     ).otherwise(seq_id)
     return packed.select(
         "doc_id",
