@@ -1146,6 +1146,45 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+MM_MEDIA_TOKENS = 576  # fixed vision-token price per media span (ViT-patch-style)
+MM_PACK_BUDGET = 2048
+
+
+def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-payload composition stats: per document, how many spans,
+    how many are media (pdf/image), total extracted text chars, and the
+    media fraction — the first thing a multimodal curation pass computes
+    over an interleaved corpus. One groupBy(doc_id) with map-side combine;
+    the span synthesis itself is pure codegen."""
+    flat = synth_flat_spans(spark, sf_dir)
+    is_media = F.col("kind").isin("pdf", "image")
+    n_media = F.sum(F.when(is_media, 1).otherwise(0))
+    return flat.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        n_media.cast("int").alias("n_media_spans"),
+        F.sum(F.when(~is_media, F.length("text")).otherwise(0))
+        .cast("bigint")
+        .alias("n_text_chars"),
+        F.round(n_media / F.count("*") + F.lit(1e-9), 4).alias("media_ratio"),
+    )
+
+
+def q_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over the interleaved corpus: each doc's
+    cost = per-span BPE-proxy tokens for text kinds + a fixed 576-token
+    vision price per media span (how VLM training mixes budget image
+    patches); docs then pack into 2048-token sequences via the same
+    distributed two-level prefix scan as ``pack_sequences``."""
+    flat = synth_flat_spans(spark, sf_dir)
+    cost = F.when(
+        F.col("kind").isin("pdf", "image"), F.lit(MM_MEDIA_TOKENS)
+    ).otherwise(token_count_bpe_col(F.col("text")))
+    per_doc = flat.groupBy("doc_id").agg(
+        F.sum(cost).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(per_doc, budget=MM_PACK_BUDGET, count_col="n_tokens")
+
+
 def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus stats + blocklist flag (the C4/RefinedWeb URL
     filtering pass). The corpus text is word salad, so deterministic URLs
@@ -1855,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "chunk_windows": q_chunk_windows,
         "pack_sequences": q_pack_sequences,
+        "span_kind_stats": q_span_kind_stats,
+        "pack_multimodal": q_pack_multimodal,
         "url_domain_stats": q_url_domain_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2127,6 +2168,37 @@ SELECT doc_id,
        CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // {PACK_BUDGET}
                   ELSE (cum - n_tokens) // {PACK_BUDGET} END)
             - (cum - n_tokens) // {PACK_BUDGET} + 1 AS INT) AS n_seqs_spanned
+FROM c
+""".strip(),
+        "span_kind_stats": f"""
+WITH {SYNTH_CTE}
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE kind IN ('pdf','image')) AS INT) AS n_media_spans,
+       CAST(COALESCE(SUM(length(text)) FILTER (WHERE kind NOT IN ('pdf','image')), 0) AS BIGINT) AS n_text_chars,
+       round(COUNT(*) FILTER (WHERE kind IN ('pdf','image')) / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4) AS media_ratio
+FROM spans GROUP BY doc_id
+""".strip(),
+        "pack_multimodal": f"""
+WITH {SYNTH_CTE},
+t AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN kind IN ('pdf','image') THEN {MM_MEDIA_TOKENS}
+                       ELSE len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) END) AS BIGINT) AS n_tokens
+  FROM spans GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {MM_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {MM_PACK_BUDGET} AS INT) AS seq_offset,
+       CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // {MM_PACK_BUDGET}
+                  ELSE (cum - n_tokens) // {MM_PACK_BUDGET} END)
+            - (cum - n_tokens) // {MM_PACK_BUDGET} + 1 AS INT) AS n_seqs_spanned
 FROM c
 """.strip(),
         "url_domain_stats": f"""

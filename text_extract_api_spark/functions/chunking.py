@@ -104,10 +104,13 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int = 32,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-cut sequence packing: documents are laid end-to-end in
     ``id_col`` order and the token stream is cut every ``budget`` tokens
-    (BPE-proxy counts, ``token_count_bpe_col``). Each doc reports which
+    (BPE-proxy counts, ``token_count_bpe_col`` — or a caller-supplied
+    ``count_col`` for non-text costs, e.g. fixed vision-token prices for
+    media spans in a multimodal mix). Each doc reports which
     training sequence its first token lands in, its offset there, and how
     many sequences it spans — the bookkeeping a sequence-packing writer
     needs to emit fixed-length samples with correct attention-mask resets.
@@ -145,10 +148,13 @@ def pack_sequences(
             pdf = pdf.assign(pid=pid, local_cum=csum)
             yield pdf
 
+    tokens = (
+        F.col(count_col) if count_col else token_count_bpe_col(F.col(text_col))
+    )
     local = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            token_count_bpe_col(F.col(text_col)).cast("bigint").alias("n_tokens"),
+            tokens.cast("bigint").alias("n_tokens"),
         )
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
