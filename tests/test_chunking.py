@@ -74,6 +74,41 @@ def test_pack_sequences_partitioning_invariant(spark):
     assert a == b
 
 
+def _py_chunks(words, width, overlap):
+    """Reference chunker: starts at 0, stride, 2*stride …; last partial
+    chunk kept only if it adds words beyond the previous chunk's overlap."""
+    stride = width - overlap
+    if not words:
+        return []
+    if len(words) <= width:
+        return [" ".join(words)]
+    out = []
+    start = 0
+    while start + width <= len(words):
+        out.append(" ".join(words[start : start + width]))
+        start += stride
+    # tail only if it extends past the last full chunk's end (i.e. it
+    # contributes words beyond the previous chunk's overlap)
+    if start < len(words) and len(words) > (start - stride) + width:
+        out.append(" ".join(words[start:]))
+    return out
+
+
+def test_chunk_windows_matches_reference_grid(spark):
+    """Exhaustive sweep: every doc length 0..40 under three (width, overlap)
+    geometries must equal the pure-Python reference chunker exactly."""
+    docs = [(n, _words(n)) for n in range(41)]
+    df = _docs(spark, docs)
+    for width, overlap in [(5, 2), (8, 0), (7, 6)]:
+        got = {}
+        for r in chunk_token_windows(df, width=width, overlap=overlap).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk_text))
+        for n, text in docs:
+            expect = _py_chunks(text.split(), width, overlap)
+            actual = [t for _, t in sorted(got.get(n, []))]
+            assert actual == expect, (n, width, overlap)
+
+
 def test_url_domains_normalizes(spark):
     df = _docs(
         spark,
