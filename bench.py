@@ -44,6 +44,7 @@ HEADLINE = [
     "pack_sequences",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_batch_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_image_metadata",

@@ -52,6 +52,88 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors at once — the serving shape
+    (queries arrive in batches, not one at a time).
+
+    Returns (query_id, vec_id, score), k rows per query, deterministic
+    tie-break (score desc, vec_id asc), scores rounded half-away to 4 dp.
+
+    Scale design — two-phase top-k, no full-score shuffle:
+    1. a narrow Arrow-batched ``mapInPandas`` scores every partition's
+       vectors against the whole query matrix in one numpy matmul
+       (vectorized — never a per-row Python loop) and emits only that
+       partition's top-k per query: ≤ partitions × |Q| × k rows leave
+       the scan, NOT n × |Q| scored rows;
+    2. a window over that tiny survivor set picks the global top-k.
+    The naive alternative (crossJoin + row_number over everything) shuffles
+    n × |Q| rows to |Q| partitions — unbounded skew at corpus scale.
+    Rounding uses the multiply-floor half-away form (vectorizable); it can
+    disagree with exact decimal HALF_UP only when x·10⁴+0.5 sits within
+    1 ulp of an integer — below the noise floor of any real embedding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(qid) for qid, _ in queries]
+    qmat = [list(map(float, v)) for _, v in queries]
+
+    def _part(iterator):
+        Q = np.array(qmat, dtype=np.float64)  # |Q| x d
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qid_arr = np.array(qids, dtype=np.int64)
+        parts: list[pd.DataFrame] = []
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = (V @ Q.T) / (vn[:, None] * qn[None, :])
+            S = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+            for j in range(len(qid_arr)):
+                col = S[:, j]
+                top = np.lexsort((ids, -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[j],
+                            "vec_id": ids[top],
+                            "score": col[top],
+                        }
+                    )
+                )
+        if parts:
+            merged = (
+                pd.concat(parts)
+                .sort_values(
+                    ["query_id", "score", "vec_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield merged
+
+    survivors = embeddings.select(id_col, vec_col).mapInPandas(
+        _part, "query_id long, vec_id long, score double"
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "score")
+    )
+
+
 def hyperplane_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-0.5, 0.5): derived from the
     first 8 hex chars of md5('{plane}:{dim}') — portable to any engine."""
@@ -342,7 +424,11 @@ def ivf_topk_stored(
     cells, re-rank against the query literal."""
     import math
 
-    cents = spark.read.parquet(f"{store_path}/centroids").collect()
+    cents = _memo(
+        spark,
+        f"{store_path}/centroids#rows",
+        lambda: spark.read.parquet(f"{store_path}/centroids").collect(),
+    )
 
     def cos(cv) -> float:
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, cv))
@@ -353,7 +439,7 @@ def ivf_topk_stored(
     ranked = sorted(((cos(r["cv"]), r["cent_id"]) for r in cents), key=lambda t: (-t[0], t[1]))
     probes = [cent_id for _, cent_id in ranked[:n_probe]]
 
-    cand = spark.read.parquet(f"{store_path}/assigned").filter(
+    cand = _read_store(spark, f"{store_path}/assigned").filter(
         F.col("cent_id").isin(*probes)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -362,6 +448,28 @@ def ivf_topk_stored(
         F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q)), 4).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+# Per-application memo of opened store relations and collected codebooks:
+# re-running spark.read.parquet on every probe repeats partition discovery
+# (~0.3 s on a 64-bucket store — 3-4x the probe itself), and re-collecting
+# the IVF codebook repeats a driver action. A probe SERVICE holds the
+# relation and codebook open; so do we. Keyed by applicationId (unique per
+# SparkSession lifetime — a restarted session never hits a stale JVM ref)
+# and the store path, which embeds the source-data content fingerprint, so
+# regenerated corpora miss the memo by construction.
+_STORE_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _memo(spark, path: str, build):
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _STORE_MEMO:
+        _STORE_MEMO[key] = build()
+    return _STORE_MEMO[key]
+
+
+def _read_store(spark, path: str) -> DataFrame:
+    return _memo(spark, path, lambda: spark.read.parquet(path))
 
 
 # Stored bucket values carry a 'b' prefix: partition-column type inference
@@ -397,7 +505,7 @@ def lsh_topk_stored(
     probes = [
         _BUCKET_TAG + b for b in probe_buckets(query_vec, n_planes, multiprobe)
     ]
-    cand = spark.read.parquet(store_path).filter(F.col("bucket").isin(*probes))
+    cand = _read_store(spark, store_path).filter(F.col("bucket").isin(*probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col).alias("vec_id"),
