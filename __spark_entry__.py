@@ -21,7 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from text_extract_api_spark.extractors.pii import PII_PATTERNS, TOKEN, anonymize_sql
+from text_extract_api_spark.extractors.pii import (
+    PII_PATTERNS,
+    TOKEN,
+    anonymize_sql,
+    ner_anonymize_col,
+    ner_anonymize_sql,
+)
 from text_extract_api_spark.functions.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -1221,6 +1227,23 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NER_SEED = (
+    " Dr. Alice Smith of Initech Corp. met Bob Jones, said a memo from Acme Inc."
+)
+
+
+def q_ner_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based NER anonymization (the deterministic half of the build
+    contract's 'regex/NER pass'): honorific-triggered person names,
+    legal-suffix orgs, reporting-verb person cues — chained engine-portable
+    replaces like the PII pass. The corpus is word salad, so a deterministic
+    entity-bearing suffix is seeded per doc (same trick as pii_anonymize)."""
+    seeded = F.concat(F.col("text"), F.lit(NER_SEED))
+    return _docs(spark, sf_dir).select(
+        "doc_id", ner_anonymize_col(seeded).alias("ner_masked")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
@@ -1943,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transport_projection": q_transport_projection,
         "filename_template": q_filename_template,
         "pii_anonymize": q_pii_anonymize,
+        "ner_anonymize": q_ner_anonymize,
         "json_structuring": q_json_structuring,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
         "quarantine_filter": q_quarantine_filter,
@@ -2148,6 +2172,9 @@ FROM documents
             "text || ' Contact: john.doe@corp.example.org or +1-202-555-0147 ssn 123-45-6789.'"
         )
         + " AS anonymized FROM documents",
+        "ner_anonymize": "SELECT doc_id, "
+        + ner_anonymize_sql(f"text || '{NER_SEED}'")
+        + " AS ner_masked FROM documents",
         "json_structuring": """
 SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
 FROM documents

@@ -79,6 +79,29 @@ def test_pii_idempotent(spark):
     assert r["twice"] == r["once"]
 
 
+NER_CASES = [
+    ("met Dr. Alice Smith today", "met [PERSON] today"),
+    ("met Mrs Jones quickly", "met [PERSON] quickly"),
+    ("works at Initech Corp. now", "works at [ORG] now"),
+    ("per Acme Widget LLC filing", "per [ORG] filing"),
+    ("Bob Jones said it works", "[PERSON] said it works"),
+    ("Carla Diaz, told reporters", "[PERSON], told reporters"),
+    ("lowercase john smith said nothing", "lowercase john smith said nothing"),
+    # honorific pass must preempt the reporting-verb pass (no double mask)
+    ("Dr. Bob Jones said so", "[PERSON] said so"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", NER_CASES)
+def test_ner_anonymize(spark, raw, expected):
+    from text_extract_api_spark.extractors.pii import ner_anonymize_col
+
+    df = spark.createDataFrame([(raw,)], "t string").select(
+        ner_anonymize_col(F.col("t")).alias("out")
+    )
+    assert df.collect()[0][0] == expected
+
+
 def test_normalize_and_markdown(spark):
     df = spark.createDataFrame(
         [("  a\t\tb \n c  ", "# Title \n\nsome *bold* _text_")],

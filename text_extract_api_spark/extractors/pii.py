@@ -54,3 +54,53 @@ def anonymize_sql(expr: str) -> str:
         lit = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{lit}', '{TOKEN}', 'g')"
     return out
+
+
+# Rule-based NER pass (the deterministic half of "regex/NER" in the build
+# contract): entity shapes detectable without a model. Same chained-replace
+# discipline and engine-portable syntax as PII_PATTERNS (no lookarounds —
+# RE2 has none; no \b — Java and RE2 agree but word-boundary next to the
+# replacement brackets is fragile). Order is load-bearing:
+# honorific-triggered PERSON first (most specific — an org rule must never
+# eat 'Dr. Acme Smith'), then ORG by legal-suffix, then title-cased
+# bigram PERSON after a reporting verb cue. Replacement tokens contain no
+# capitalized-word shape, so earlier passes cannot create later matches.
+NER_PERSON_TOKEN = "[PERSON]"
+NER_ORG_TOKEN = "[ORG]"
+
+NER_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "person_honorific",
+        "(Mr|Mrs|Ms|Dr|Prof)\\.? [A-Z][a-z]+( [A-Z][a-z]+)?",
+        NER_PERSON_TOKEN,
+    ),
+    (
+        "org_suffix",
+        "([A-Z][A-Za-z]+ )+(Inc|Corp|Ltd|LLC|GmbH)\\.?",
+        NER_ORG_TOKEN,
+    ),
+    (
+        "person_said",
+        "[A-Z][a-z]+ [A-Z][a-z]+(,? (said|told|wrote|reported))",
+        NER_PERSON_TOKEN + "$1",
+    ),
+]
+
+
+def ner_anonymize_col(c: Column) -> Column:
+    out = c
+    for _, pat, repl in NER_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def ner_anonymize_sql(expr: str) -> str:
+    """The identical chained NER replaces as DuckDB SQL. RE2 uses \\1 for
+    group backreferences in the replacement where Java uses $1 (DuckDB's
+    plain single-quoted strings pass the backslash through verbatim)."""
+    out = expr
+    for _, pat, repl in NER_PATTERNS:
+        lit = pat.replace("'", "''")
+        r = repl.replace("$", "\\")
+        out = f"regexp_replace({out}, '{lit}', '{r}', 'g')"
+    return out
