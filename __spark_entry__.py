@@ -1227,6 +1227,30 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 200
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency, top-200 (tokenizer-vocabulary sizing /
+    stopword discovery). The explode moves the token stream, but partial
+    (map-side) aggregation collapses each partition's repeats before the
+    exchange — the shuffle carries distinct-words-per-partition, not
+    tokens; the final top-k is a TakeOrdered, never a global sort."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), WS_SPLIT)).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("word"))
+        .limit(VOCAB_K)
+    )
+
+
 NER_SEED = (
     " Dr. Alice Smith of Initech Corp. met Bob Jones, said a memo from Acme Inc."
 )
@@ -1967,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_template": q_filename_template,
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
+        "vocab_topk": q_vocab_topk,
         "json_structuring": q_json_structuring,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
         "quarantine_filter": q_quarantine_filter,
@@ -2175,6 +2200,16 @@ FROM documents
         "ner_anonymize": "SELECT doc_id, "
         + ner_anonymize_sql(f"text || '{NER_SEED}'")
         + " AS ner_masked FROM documents",
+        "vocab_topk": f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+)
+GROUP BY word
+ORDER BY n_occ DESC, word ASC
+LIMIT {VOCAB_K}
+""".strip(),
         "json_structuring": """
 SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
 FROM documents

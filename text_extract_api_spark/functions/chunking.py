@@ -151,6 +151,12 @@ def pack_sequences(
     tokens = (
         F.col(count_col) if count_col else token_count_bpe_col(F.col(text_col))
     )
+    # Preserve the caller's id type through the Arrow boundary: a string
+    # doc_id (e.g. the interleaved span table's) must come back as string —
+    # pyarrow would otherwise silently coerce digit strings to int64,
+    # changing the output schema (the ORDER is whatever the id type sorts
+    # as; for packing, corpus order is a convention, not a semantic).
+    id_type = dict(docs.dtypes)[id_col]
     local = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -159,7 +165,8 @@ def pack_sequences(
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
         .mapInPandas(
-            _running, "doc_id long, n_tokens bigint, pid long, local_cum bigint"
+            _running,
+            f"doc_id {id_type}, n_tokens bigint, pid long, local_cum bigint",
         )
     )
     totals = local.groupBy("pid").agg(F.max("local_cum").alias("part_total"))
