@@ -1227,6 +1227,26 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (p50/p90/p99 of n_chars) —
+    the first cut of any mix-design or outlier-filter decision. Exact
+    interpolated percentiles (one sort-based agg per group; at 100 TB swap
+    for percentile_approx and drop the oracle to rows-only). The shared
+    +1e-9 epsilon guards the 4-dp rounding against the two engines'
+    last-ulp interpolation difference ((1-g)a+gb vs a+(b-a)g)."""
+    eps = F.lit(1e-9)
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile("n_chars", 0.5) + eps, 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", 0.9) + eps, 4).alias("p90_chars"),
+            F.round(F.percentile("n_chars", 0.99) + eps, 4).alias("p99_chars"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 VOCAB_K = 200
 
 
@@ -1992,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
         "vocab_topk": q_vocab_topk,
+        "length_quantiles": q_length_quantiles,
         "json_structuring": q_json_structuring,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
         "quarantine_filter": q_quarantine_filter,
@@ -2209,6 +2230,14 @@ FROM (
 GROUP BY word
 ORDER BY n_occ DESC, word ASC
 LIMIT {VOCAB_K}
+""".strip(),
+        "length_quantiles": """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99) + 1e-9, 4) AS p99_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
 """.strip(),
         "json_structuring": """
 SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
