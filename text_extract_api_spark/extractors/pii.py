@@ -75,8 +75,11 @@ NER_PATTERNS: list[tuple[str, str, str]] = [
         NER_PERSON_TOKEN,
     ),
     (
+        # bounded {1,4}: an unbounded ( Word )+ backtracks O(n²) in Java on
+        # adversarial all-capitalized documents (RE2 wouldn't, but the hot
+        # path is Spark); real org names rarely exceed 5 words.
         "org_suffix",
-        "([A-Z][A-Za-z]+ )+(Inc|Corp|Ltd|LLC|GmbH)\\.?",
+        "([A-Z][A-Za-z]+ ){1,4}(Inc|Corp|Ltd|LLC|GmbH)\\.?",
         NER_ORG_TOKEN,
     ),
     (
