@@ -24,6 +24,34 @@ def test_incremental_drain_and_checkpoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{out}/results").count() == n_docs
 
 
+def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """dropDuplicates state spans micro-batches AND restarts: duplicates
+    split across separate files (forced into separate batches by
+    maxFilesPerTrigger=1) still dedup; a later drain of a fresh duplicate
+    file emits nothing new."""
+    from text_extract_api_spark.pipeline import with_content_hash
+    from text_extract_api_spark.streaming.dedup import run_streaming_dedup
+
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    some = docs.limit(40)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    # same 40 payloads written twice into different files → different batches
+    some.coalesce(1).write.mode("append").parquet(inp)
+    some.coalesce(1).write.mode("append").parquet(inp)
+    n_distinct = with_content_hash(some).select("content_hash").distinct().count()
+
+    run_streaming_dedup(spark, inp, out, max_files_per_trigger=1)
+    got = spark.read.parquet(f"{out}/unique")
+    assert got.count() == n_distinct
+    assert got.select("content_hash").distinct().count() == n_distinct
+
+    # restart with one more duplicate file: state survived the checkpoint
+    some.coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_dedup(spark, inp, out, max_files_per_trigger=1)
+    assert spark.read.parquet(f"{out}/unique").count() == n_distinct
+
+
 def test_stateful_running_totals_accumulate(spark, sf_dir, tmp_path):
     """applyInPandasWithState: per-source totals accumulate across
     micro-batches AND across restarts (state store checkpoint)."""
