@@ -42,6 +42,12 @@ HEADLINE = [
     "dedup_paragraphs",
     "chunk_windows",
     "pack_sequences",
+    "pack_multimodal",
+    "span_kind_stats",
+    "url_domain_stats",
+    "ner_anonymize",
+    "vocab_topk",
+    "length_quantiles",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_batch_topk",
