@@ -190,6 +190,16 @@ def main() -> None:
             "t_n": [round(t, 2) for t in t2_all],
             "t_4n": [round(t, 2) for t in t8_all],
             "ambient": [[p[1]["ambient_load"], p[2]["ambient_load"]] for p in pairs],
+            # per-pair task-CPU ratio 4N/N: a DIRECT mid-run contention
+            # detector (contention shows up as memory-stall cycles in the
+            # run's own CPU counters) — lets the analysis separate plan
+            # behavior from weather without post-hoc outcome selection.
+            "work_ratios": [
+                round(
+                    p[2]["task_run_core_s"] / max(1, p[1]["task_run_core_s"]), 3
+                )
+                for p in pairs
+            ],
         }) + "\n")
     pool_eff, pool_tn, pool_t4n, pool_amb_n = [], [], [], []
     with open(sessions_path) as f:
