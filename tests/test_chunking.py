@@ -109,6 +109,33 @@ def test_chunk_windows_matches_reference_grid(spark):
             assert actual == expect, (n, width, overlap)
 
 
+def test_pack_sequences_global_invariants(spark):
+    """Invariants any correct packing must satisfy, checked over the real
+    documents table: offsets in [0, budget); seq_id nondecreasing in doc
+    order; each doc's (seq_id, seq_offset) equals the running token total
+    of every doc before it; spans count matches ceil arithmetic."""
+    budget = 257  # deliberately not a round number
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        pack_sequences(docs, budget=budget, n_parts=7).collect(),
+        key=lambda r: r.doc_id,
+    )
+    run = 0
+    prev_seq = 0
+    for r in rows:
+        assert 0 <= r.seq_offset < budget
+        assert r.seq_id == run // budget
+        assert r.seq_offset == run % budget
+        assert r.seq_id >= prev_seq
+        if r.n_tokens > 0:
+            end_seq = (run + r.n_tokens - 1) // budget
+        else:
+            end_seq = r.seq_id
+        assert r.n_seqs_spanned == end_seq - r.seq_id + 1
+        run += r.n_tokens
+        prev_seq = r.seq_id
+
+
 def test_url_domains_normalizes(spark):
     df = _docs(
         spark,
