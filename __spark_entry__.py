@@ -54,6 +54,7 @@ from text_extract_api_spark.functions.similarity import (
     hyperplane_weight,
 )
 from text_extract_api_spark.functions import quality
+from text_extract_api_spark.functions import sampling as _sampling
 from text_extract_api_spark.functions.chunking import (
     chunk_token_windows,
     pack_sequences,
@@ -1308,6 +1309,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2}
 SAMPLE_DEFAULT = 0.1
+QUOTA_PER_SOURCE = 40
+N_SHARDS = 8
 MIX_TARGET_PPM = {"en": 400000, "de": 150000, "fr": 150000, "es": 150000, "zh": 150000}
 
 
@@ -1987,6 +1990,67 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup via the union-window as-of join (an operator
+    Spark's API lacks; ``functions/temporal.py``): each event gets the
+    user's most recent strictly-prior purchase and the gap to it in
+    microseconds. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from text_extract_api_spark.functions.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        # defensively collapse same-instant purchases so the tiebreak is
+        # exercised even if the corpus ever grows ties
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_id"))
+        .withColumn("p_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        ev,
+        purch,
+        key="user_id",
+        probe_time="ts",
+        build_time="ts",
+        carry={"prior_purchase_id": "p_id", "_p_ts": "p_ts"},
+        tiebreak="p_id",
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        # -1 = "no prior purchase": keeps the contract columns NULL-free so
+        # engine NULL/NaN canonicalization can't diverge
+        F.coalesce(F.col("prior_purchase_id"), F.lit(-1))
+        .cast("bigint")
+        .alias("prior_purchase_id"),
+        # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+        # session-tz shift the cast applies cancels in the difference
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("_p_ts").cast("timestamp")),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+def q_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (two-phase salted top-k, skew-safe)."""
+    from text_extract_api_spark.functions.sampling import quota_per_stratum
+
+    return quota_per_stratum(_docs(spark, sf_dir), quota=QUOTA_PER_SOURCE)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: (shard, pos) per document
+    without a global total sort."""
+    from text_extract_api_spark.functions.sampling import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), n_shards=N_SHARDS)
+
+
 # ------------------------------------------------------------ driver contract
 
 
@@ -2062,6 +2126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_props_extract": q_events_props_extract,
+        "events_asof_purchase": q_events_asof_purchase,
+        "quota_per_source": q_quota_per_source,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -2515,4 +2582,21 @@ SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n_events,
        CAST(SUM(k) AS BIGINT) AS k_total
 FROM e GROUP BY 1, 2
 """.strip(),
+        # DuckDB's native ASOF JOIN is the independent re-derivation of the
+        # union-window construction in functions/temporal.py.
+        "events_asof_purchase": """
+WITH purch AS (
+  SELECT user_id, ts, MAX(event_id) AS p_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.event_type,
+       CAST(COALESCE(p.p_id, -1) AS BIGINT) AS prior_purchase_id,
+       CAST(COALESCE(epoch_us(e.ts) - epoch_us(p.ts), -1) AS BIGINT) AS gap_us
+FROM events e ASOF LEFT JOIN purch p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+""".strip(),
+        # Direct single-window form; Spark's two-phase salted plan must
+        # select the identical rows.
+        "quota_per_source": _sampling.quota_per_stratum_sql(QUOTA_PER_SOURCE),
+        "shard_assign": _sampling.shard_assign_sql(N_SHARDS),
     }

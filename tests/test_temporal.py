@@ -1,0 +1,143 @@
+"""As-of join (functions/temporal.py) + quota/shard sampling semantics.
+
+The as-of cases pin the exact boundary behavior the union-window
+construction must reproduce: strict vs non-strict visibility of a build row
+at the probe's own instant, deterministic tiebreak among same-time build
+rows, and NULL carry when nothing precedes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.functions.sampling import (
+    quota_per_stratum,
+    shard_assign,
+)
+from text_extract_api_spark.functions.temporal import asof_join
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [(1, 3, "a"), (1, 10, "b"), (1, 15, "c"), (2, 7, "d")],
+        "k int, t int, tag string",
+    )
+    build = spark.createDataFrame(
+        [(1, 5, 100, 1.0), (1, 15, 200, 2.0), (9, 1, 900, 9.0)],
+        "k int, bt int, bid int, v double",
+    )
+    return probe, build
+
+
+def _run(spark, strict):
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe,
+        build,
+        key="k",
+        probe_time="t",
+        build_time="bt",
+        carry={"prior_id": "bid", "prior_v": "v"},
+        tiebreak="bid",
+        strict=strict,
+    )
+    return {r["tag"]: (r["prior_id"], r["prior_v"]) for r in out.collect()}
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    got = _run(spark, strict=True)
+    assert got["a"] == (None, None)  # nothing precedes t=3
+    assert got["b"] == (100, 1.0)  # latest build < 10 is bt=5
+    assert got["c"] == (100, 1.0)  # bt=15 NOT visible at t=15 (strict)
+    assert got["d"] == (None, None)  # key 2 has no build rows at all
+
+
+def test_asof_nonstrict_includes_same_instant(spark):
+    got = _run(spark, strict=False)
+    assert got["c"] == (200, 2.0)  # bt=15 visible at t=15
+    assert got["b"] == (100, 1.0)
+    assert got["a"] == (None, None)
+
+
+def test_asof_tiebreak_among_same_time_builds(spark):
+    probe = spark.createDataFrame([(1, 20, "p")], "k int, t int, tag string")
+    build = spark.createDataFrame(
+        [(1, 10, 7, 0.7), (1, 10, 9, 0.9), (1, 10, 3, 0.3)],
+        "k int, bt int, bid int, v double",
+    )
+    out = asof_join(
+        probe, build, "k", "t", "bt",
+        carry={"prior_id": "bid", "prior_v": "v"},
+        tiebreak="bid", strict=True,
+    ).collect()
+    assert (out[0]["prior_id"], out[0]["prior_v"]) == (9, 0.9)  # max bid wins
+
+
+def test_asof_probe_columns_survive(spark):
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe, build, "k", "t", "bt",
+        carry={"prior_id": "bid"}, tiebreak="bid",
+    )
+    assert out.columns == ["k", "t", "tag", "prior_id"]
+    assert out.count() == probe.count()  # left join: every probe row kept
+
+
+def test_quota_caps_each_stratum_and_is_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quota = 7
+    a = quota_per_stratum(docs, quota)
+    counts = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in counts.items():
+        assert n == min(quota, avail[src])
+    # rerun selects the identical doc_ids (hash order, no RNG)
+    b = quota_per_stratum(docs, quota)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_quota_two_phase_matches_single_window(spark, sf_dir):
+    """The salted two-phase plan must select exactly the rows the direct
+    per-stratum window would (the oracle's form)."""
+    from text_extract_api_spark.functions.sampling import hash_u32_col
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quota = 5
+    direct = (
+        docs.select(
+            "doc_id", "source", hash_u32_col(F.col("doc_id"), "quota").alias("_u")
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("_u", "doc_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", "rk")
+    )
+    two_phase = quota_per_stratum(docs, quota)
+    assert two_phase.exceptAll(direct).count() == 0
+    assert direct.exceptAll(two_phase).count() == 0
+
+
+def test_shard_positions_dense_and_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_shards = 8
+    out = shard_assign(docs, n_shards)
+    assert out.count() == docs.count()
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert 0 <= r["shard"] < n_shards
+        assert (r["mn"], r["mx"]) == (1, r["n"])  # dense 1..n per shard
+    again = shard_assign(docs, n_shards)
+    assert out.exceptAll(again).count() == 0

@@ -129,3 +129,113 @@ def mix_weights(
         .otherwise(F.lit(0).cast("bigint"))
         .alias("weight_x10k"),
     )
+
+
+def quota_per_stratum(
+    docs: DataFrame,
+    quota: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-stratum cap (e.g. "at most K documents per domain"): keep each
+    stratum's ``quota`` rows with the smallest deterministic hash rank —
+    the per-source quota pass every web-corpus mix applies so one giant
+    domain can't dominate the training set.
+
+    Skew-safe two-phase top-k: a single window over a hot stratum would
+    funnel that stratum's entire row set through one task, so phase 1 caps
+    each ``(stratum, u % n_salts)`` bucket at ``quota`` locally — correct
+    because every global top-``quota`` row is, within its own bucket, also
+    among the ``quota`` smallest, so phase 1 can never drop one. Phase 2's
+    window then sees at most ``n_salts * quota`` rows per stratum (bounded
+    by config, not by corpus size). Ordering is the md5-derived u32 of the
+    key (restart-stable, engine-portable), key as tiebreak.
+    """
+    u = hash_u32_col(F.col(key_col), salt)
+    ranked = docs.select(
+        key_col, stratum_col, u.alias("_u"), (u % n_salts).alias("_b")
+    )
+    local = Window.partitionBy(stratum_col, "_b").orderBy("_u", key_col)
+    survivors = ranked.withColumn(
+        "_lrk", F.row_number().over(local)
+    ).filter(F.col("_lrk") <= quota)
+    final = Window.partitionBy(stratum_col).orderBy("_u", key_col)
+    return (
+        survivors.withColumn("rk", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rk") <= quota)
+        .select(key_col, stratum_col, "rk")
+    )
+
+
+def quota_per_stratum_sql(
+    quota: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`quota_per_stratum` — the direct (non-salted)
+    window form; the two-phase Spark plan must select identical rows."""
+    u = hash_u32_sql(key_col, salt)
+    return f"""
+WITH ranked AS (
+  SELECT {key_col}, {stratum_col},
+         row_number() OVER (PARTITION BY {stratum_col} ORDER BY ({u}), {key_col})
+           AS rk
+  FROM {table}
+)
+SELECT {key_col}, {stratum_col}, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {quota}
+""".strip()
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt_shard: str = "shard",
+    salt_pos: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: assign every doc a
+    shard (``u32(key) % n_shards``) and a dense 1-based position within its
+    shard, ordered by an independent hash — the (shard, pos) pair IS the
+    global pseudo-random read order a data loader consumes, without ever
+    materializing a total sort.
+
+    Zero RNG, so a resumed/backfilled run reproduces the identical
+    permutation. One shuffle (the per-shard window). Scale: choose
+    ``n_shards ≈ corpus_rows / target_shard_rows`` so each window partition
+    holds one shard's bounded row count; shards are independent, so
+    parallelism grows with the corpus instead of collapsing into the single
+    partition a global ``row_number() OVER (ORDER BY ...)`` would need.
+    """
+    shard = (hash_u32_col(F.col(key_col), salt_shard) % n_shards).cast("int")
+    pos_key = hash_u32_col(F.col(key_col), salt_pos)
+    w = Window.partitionBy("shard").orderBy("_p", key_col)
+    return (
+        docs.select(key_col, shard.alias("shard"), pos_key.alias("_p"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def shard_assign_sql(
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt_shard: str = "shard",
+    salt_pos: str = "pos",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`shard_assign`."""
+    us = hash_u32_sql(key_col, salt_shard)
+    up = hash_u32_sql(key_col, salt_pos)
+    return f"""
+SELECT {key_col},
+       CAST(({us}) % {n_shards} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY ({us}) % {n_shards} ORDER BY ({up}), {key_col}
+       ) AS BIGINT) AS pos
+FROM {table}
+""".strip()
