@@ -48,6 +48,10 @@ HEADLINE = [
     "ner_anonymize",
     "vocab_topk",
     "length_quantiles",
+    "events_asof_purchase",
+    "quota_per_source",
+    "shard_assign",
+    "corpus_prep_e2e",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_batch_topk",

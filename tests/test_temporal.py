@@ -141,3 +141,28 @@ def test_shard_positions_dense_and_stable(spark, sf_dir):
         assert (r["mn"], r["mx"]) == (1, r["n"])  # dense 1..n per shard
     again = shard_assign(docs, n_shards)
     assert out.exceptAll(again).count() == 0
+
+
+def test_corpus_prep_e2e_manifest_contract(spark):
+    """Composition sanity for the end-to-end prep query: (shard, pos) is a
+    valid loader manifest — unique, dense per shard, quota respected — and
+    deterministic across reruns."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["corpus_prep_e2e"](spark, sf)
+    rows = out.collect()
+    assert rows, "funnel should keep at least some documents"
+    seen = {(r["shard"], r["pos"]) for r in rows}
+    assert len(seen) == len(rows)  # (shard, pos) unique
+    per_source = {}
+    per_shard = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert all(n <= entrymod.QUOTA_PER_SOURCE for n in per_source.values())
+    for shard, poss in per_shard.items():
+        assert 0 <= shard < entrymod.N_SHARDS
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    again = entrymod.queries()["corpus_prep_e2e"](spark, sf)
+    assert out.exceptAll(again).count() == 0

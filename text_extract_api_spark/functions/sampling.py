@@ -197,6 +197,7 @@ def shard_assign(
     key_col: str = "doc_id",
     salt_shard: str = "shard",
     salt_pos: str = "pos",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic corpus shuffle for training order: assign every doc a
     shard (``u32(key) % n_shards``) and a dense 1-based position within its
@@ -215,9 +216,9 @@ def shard_assign(
     pos_key = hash_u32_col(F.col(key_col), salt_pos)
     w = Window.partitionBy("shard").orderBy("_p", key_col)
     return (
-        docs.select(key_col, shard.alias("shard"), pos_key.alias("_p"))
+        docs.select(key_col, *extra_cols, shard.alias("shard"), pos_key.alias("_p"))
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select(key_col, "shard", "pos")
+        .select(key_col, *extra_cols, "shard", "pos")
     )
 
 
