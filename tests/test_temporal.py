@@ -166,3 +166,56 @@ def test_corpus_prep_e2e_manifest_contract(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
     again = entrymod.queries()["corpus_prep_e2e"](spark, sf)
     assert out.exceptAll(again).count() == 0
+
+
+def test_asof_randomized_against_python_reference(spark):
+    """50 seeded random key/time datasets (dense time range to force
+    collisions), batched into ONE Spark job via composite case keys, each
+    compared to a brute-force per-probe argmax reference — pins the
+    union-window construction against the operator's definition."""
+    import random
+
+    probe_rows, build_rows, cases = [], [], []
+    pid = 0
+    for case in range(50):
+        rng = random.Random(1000 + case)
+        strict = case % 2 == 0
+        builds = [
+            (rng.randint(1, 3), rng.randint(0, 10), 100 + i)
+            for i in range(rng.randint(0, 12))
+        ]
+        probes = [
+            (pid + i, rng.randint(1, 3), rng.randint(0, 10))
+            for i in range(rng.randint(1, 12))
+        ]
+        pid += len(probes)
+        cases.append((case, strict, probes, builds))
+        ck = case * 100
+        probe_rows += [(case, ck + k, t, i) for (i, k, t) in probes]
+        build_rows += [(ck + k, t, bid) for (k, t, bid) in builds]
+
+    # two batched jobs (strict and non-strict halves share one frame each)
+    probe_df = spark.createDataFrame(
+        probe_rows, "case int, k int, t int, pid int"
+    )
+    build_df = spark.createDataFrame(build_rows, "k int, bt int, bid int")
+    got = {}
+    for strict in (True, False):
+        sub = probe_df.filter(
+            (F.col("case") % 2 == 0) if strict else (F.col("case") % 2 == 1)
+        )
+        out = asof_join(
+            sub, build_df, "k", "t", "bt",
+            carry={"prior": "bid"}, tiebreak="bid", strict=strict,
+        )
+        got.update({r["pid"]: r["prior"] for r in out.collect()})
+
+    for case, strict, probes, builds in cases:
+        for pid_, k, t in probes:
+            cands = [
+                (bt, bid)
+                for (bk, bt, bid) in builds
+                if bk == k and (bt < t if strict else bt <= t)
+            ]
+            want = max(cands)[1] if cands else None
+            assert got[pid_] == want, (case, strict, k, t, got[pid_], want)
