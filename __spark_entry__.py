@@ -1470,6 +1470,8 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ],
     )
+    if not queries:  # empty corpus: a batch of zero queries is empty output
+        return spark.createDataFrame([], "query_id bigint, vec_id bigint, score double")
     return cosine_topk_batch(emb, queries, k=ANN_BATCH_K)
 
 
@@ -1547,14 +1549,14 @@ def _query_vec(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[float]:
     measured ANN probe, and a serving layer holds its query batch in hand."""
     from text_extract_api_spark.functions.similarity import _memo
 
-    return _memo(
-        spark,
-        f"{sf_dir}#query_vec",
-        lambda: [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-        ],
-    )
+    def fetch():
+        row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+        # empty corpus / slice: no probe vector exists — callers emit an
+        # empty top-k instead of crashing (a 100 TB run WILL see empty
+        # slices; None is memoized like any other corpus-keyed answer)
+        return None if row is None else [float(x) for x in row[0]]
+
+    return _memo(spark, f"{sf_dir}#query_vec", fetch)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,11 +1575,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None:  # empty corpus: nothing to probe, no store to build
+        return spark.createDataFrame([], "vec_id bigint, score double")
     store, ok_marker = _store_path("spark_graft_ann_store", sf_dir, str(ANN_PLANES))
     _ensure_store(
         lambda d: build_bucket_store(emb, d, ANN_PLANES, EMB_DIMS), store, ok_marker
     )
-    query_vec = _query_vec(spark, sf_dir, emb)
     return lsh_topk_stored(
         spark, store, query_vec, k=ANN_K, n_planes=ANN_PLANES, multiprobe=True
     )
@@ -1604,11 +1608,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None:  # empty corpus: nothing to probe, no store to build
+        return spark.createDataFrame([], "vec_id bigint, score double")
     store, ok_marker = _store_path("spark_graft_ivf_store", sf_dir, str(IVF_STRIDE))
     _ensure_store(
         lambda d: build_ivf_store(emb, d, centroid_stride=IVF_STRIDE), store, ok_marker
     )
-    query_vec = _query_vec(spark, sf_dir, emb)
     return ivf_topk_stored(spark, store, query_vec, k=ANN_K, n_probe=IVF_PROBES)
 
 
