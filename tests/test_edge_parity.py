@@ -1,0 +1,49 @@
+"""Spark-vs-DuckDB parity on an ADVERSARIAL corpus (tools/edge_corpus.py):
+empty / whitespace-only / control-whitespace / punctuation-dense / 5000-char
+/ single-token documents. The clean synth corpus never exercises these, and
+they found a real bug in r3 (simhash emitted signatures for token-less docs
+because split('') is [''], not []).
+
+The full 69-query sweep lives behind `python tools/parity_check.py
+<edge_dir>`; this test pins the text-shape-sensitive subset so the suite
+stays fast."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries whose semantics depend on text shape (tokenization, hashing,
+# length, chunking, span synthesis) — the ones the edge corpus can break.
+EDGE_SENSITIVE = [
+    "dedup_simhash",
+    "dedup_exact_payload",
+    "token_count",
+    "token_count_bpe",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "length_quantiles",
+    "vocab_topk",
+    "pipeline_extract_flat",
+    "chunk_windows",
+    "quality_repetition",
+]
+
+
+def test_edge_corpus_parity(tmp_path):
+    from tools.edge_corpus import build_edge_corpus
+
+    edge_dir = build_edge_corpus(str(tmp_path / "edge_sf"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity_check.py"),
+         edge_dir, *EDGE_SENSITIVE],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    assert "ALL PASS" in proc.stdout

@@ -302,10 +302,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     explode, no groupBy, zero shuffles. Engine-portable: identical
     arithmetic exists in the DuckDB oracle.
     """
-    toks = docs.select(
+    # token-less docs (empty / whitespace-only text) carry NO signature:
+    # split('') yields [''] (size 1), so the emptiness test must be on the
+    # trimmed TEXT, not the array — matches the oracle's length(trim(.)) > 0
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
-    ).filter(F.size("w") > 0)
+    )
     hs = toks.withColumn("hs", F.transform("w", lambda t: F.md5(t)))
 
     def vote(b: int) -> F.Column:
