@@ -2404,8 +2404,9 @@ FROM seeded
         "chunk_windows": f"""
 WITH w AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS w,
-         length(trim(text)) AS nt
+         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                               '[ \\t\\r\\n]+') AS w,
+         length(trim(text, ' ' || chr(9) || chr(13) || chr(10))) AS nt
   FROM documents
 ),
 c AS (

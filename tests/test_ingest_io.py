@@ -270,3 +270,22 @@ def test_raw_files_job_tolerates_non_utf8(spark, tmp_path):
     }
     assert rows["ok.txt"] == "clean ascii"
     assert "au lait" in rows["legacy.txt"]  # survived, lenient-decoded
+
+
+def test_normalize_documents_pins_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None, 99), (2, "", 0), (3, "abc", 3)],
+        "doc_id int, text string, n_chars long",
+    )
+    from text_extract_api_spark.ingest import normalize_documents
+
+    out = {r["doc_id"]: (r["text"], r["n_chars"])
+           for r in normalize_documents(df).collect()}
+    assert out[1] == ("", 0)      # NULL -> '' and n_chars recomputed
+    assert out[2] == ("", 0)
+    assert out[3] == ("abc", 3)
+    # frame without an n_chars column: text still normalized, no new column
+    df2 = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    out2 = normalize_documents(df2)
+    assert out2.columns == ["doc_id", "text"]
+    assert out2.collect()[0]["text"] == ""

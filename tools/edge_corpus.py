@@ -46,6 +46,7 @@ _EDGE_TEXT = """
       WHEN 4 THEN 'a-b_c.d!e?f,g;h:i(j)k|l|m*n&o/p%q#r@s'
       WHEN 5 THEN repeat('a', 5000)
       WHEN 6 THEN 'word'
+      WHEN 7 THEN chr(10) || ' padded  text ' || chr(9)
       ELSE text END
 """.strip()
 
