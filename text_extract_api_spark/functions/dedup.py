@@ -260,10 +260,76 @@ def _band_pairs(base: DataFrame) -> DataFrame:
 def _minhash_base(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, sh, n_sh, bands) — the one narrow map stage everything reuses."""
-    return doc_shingle_arrays(docs, id_col, text_col, n).withColumn(
-        "bands", band_keys_from_shingles(F.col("sh"))
-    )
+    """(id, sh, n_sh, bands) — the one narrow map stage everything reuses.
+
+    Arrow-batched ``mapInPandas`` (r3): replaced the all-JVM
+    zip_with/HOF form after measuring the signature stage 2.3× slower in
+    the JVM (0.66 s vs 1.48 s at sf0.1, bit-identical output) — HOF lambda
+    bodies execute interpreted per array element, and this stage runs
+    seeds × shingles md5 evaluations per document. Every semantic detail of
+    the JVM form is replicated exactly (verified by the 69-query parity
+    suite on both the clean and adversarial edge corpora):
+
+    - ``strip(' ')`` — SPACE-ONLY trim, like ``F.trim``; control-whitespace
+      edges produce the same ''-component shingles both ways,
+    - first-occurrence-ordered distinct shingles (= ``array_distinct``),
+    - ``k = len(words) - (n-1) >= 1`` emptiness rule,
+    - per-seed min over md5('seed:shingle') hex, band key =
+      md5('|'-joined row of per-seed minima) — identical strings fed to
+      identical md5, so downstream band joins and the DuckDB oracles see
+      the same keys.
+    """
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, sh array<string>, n_sh int, bands array<string>"
+    ws = _re.compile(WS_SPLIT)
+    seed_pre = [f"{s}:".encode() for s in range(LSH_BANDS * LSH_ROWS)]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, shs, nshs, bandss = [], [], [], []
+            for did, txt in zip(pdf[id_col].values, pdf[text_col].values):
+                if txt is None:
+                    continue
+                w = ws.split(txt.strip(" "))
+                k = len(w) - (n - 1)
+                if k < 1:
+                    continue
+                seen: set[str] = set()
+                sh = []
+                for i in range(k):
+                    g = " ".join(w[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        sh.append(g)
+                enc = [x.encode() for x in sh]
+                bands = []
+                for b in range(LSH_BANDS):
+                    mins = [
+                        min(md5(seed_pre[b * LSH_ROWS + r] + e).hexdigest() for e in enc)
+                        for r in range(LSH_ROWS)
+                    ]
+                    bands.append(md5("|".join(mins).encode()).hexdigest())
+                ids.append(did)
+                shs.append(sh)
+                nshs.append(len(sh))
+                bandss.append(bands)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "sh": shs,
+                    "n_sh": pd.array(nshs, dtype="int32"),
+                    "bands": bandss,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(op, schema)
 
 
 def lsh_candidate_pairs(
