@@ -71,6 +71,38 @@ def test_self_loops_dropped(spark):
     assert got == {4: 4, 7: 4}
 
 
+def test_string_doc_ids_preserved(spark):
+    # UUID-like / prefixed string ids must survive: the old long-cast
+    # NULLed them and silently dropped every edge. cluster_id is the
+    # LEXICOGRAPHIC minimum for strings, and the output dtype stays string.
+    pairs = spark.createDataFrame(
+        [
+            ("doc-b", "doc-a"),
+            ("doc-c", "doc-b"),
+            ("7f9e-2", "7f9e-10"),  # lexicographic: "7f9e-10" < "7f9e-2"
+        ],
+        "id_a string, id_b string",
+    )
+    out = connected_components(pairs)
+    assert dict(out.dtypes) == {"id": "string", "cluster_id": "string"}
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "7f9e-10": "7f9e-10",
+        "7f9e-2": "7f9e-10",
+    }
+
+
+def test_digit_string_ids_stay_strings(spark):
+    # digit-only string ids: min must be lexicographic ("10" < "9"), not
+    # numeric — output type is the caller's, never silently bigint.
+    pairs = spark.createDataFrame([("9", "10")], "id_a string, id_b string")
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {"9": "10", "10": "10"}
+
+
 def test_neardup_clusters_canonical_flags(spark):
     out = neardup_clusters(_pairs(spark, [(2, 1), (3, 2), (8, 9)])).collect()
     got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out}

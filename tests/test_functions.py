@@ -80,6 +80,27 @@ def test_cosine_topk_exact(spark):
     assert abs(got[1]["score"] - 0.9 / math.sqrt(0.82)) < 1e-3
 
 
+def test_cosine_topk_batch_zero_norm_never_in_topk(spark):
+    # ADVICE r3: all-zero embeddings divided 0/0 -> NaN, and Spark ranks
+    # NaN GREATEST — NaN rows could seize top-k slots. Zero-norm vectors
+    # must rank LAST (the JVM/DuckDB twins produce NULL there, which both
+    # engines order last under score DESC).
+    from text_extract_api_spark.functions.similarity import cosine_topk_batch
+
+    vecs = [[1, 0, 0], [0, 0, 0], [0.5, 0.5, 0], [0, 1, 0], [0, 0, 0]]
+    out = cosine_topk_batch(
+        _emb(spark, vecs), [(0, [1.0, 0.0, 0.0])], k=3
+    ).collect()
+    got = [r["vec_id"] for r in out]
+    assert got == [0, 2, 3]  # both zero-norm vectors (1, 4) excluded
+    assert all(r["score"] == r["score"] for r in out)  # no NaN survives
+
+    # zero-norm QUERY: every score is the sentinel; ranking still
+    # deterministic (vec_id asc), nothing crashes
+    out2 = cosine_topk_batch(_emb(spark, vecs), [(7, [0.0, 0.0, 0.0])], k=2).collect()
+    assert [r["vec_id"] for r in out2] == [0, 1]
+
+
 def test_lsh_topk_recovers_near_neighbors(spark):
     import hashlib
 

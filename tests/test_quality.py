@@ -153,6 +153,23 @@ def test_paragraph_dedup_preserves_document_order(spark):
     assert out[1].clean_fp == hashlib.md5(b"b second\n\na first").hexdigest()
 
 
+def test_paragraph_dedup_empty_and_null_paras_doc_survives(spark):
+    # ADVICE r3: a doc with zero paragraphs (empty or NULL array) used to
+    # vanish from the output — downstream anti-joins then treated it as
+    # unprocessed. It must emit (n_paras=0, n_kept=0, clean_fp=md5('')).
+    from text_extract_api_spark.functions.dedup import paragraph_dedup
+    import hashlib
+
+    df = _paras_df(spark, [(1, []), (2, None), (3, ["kept text"])])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    empty_fp = hashlib.md5(b"").hexdigest()
+    for d in (1, 2):
+        assert out[d].n_paras == 0 and out[d].n_kept == 0
+        assert out[d].clean_fp == empty_fp
+    assert out[3].n_kept == 1
+
+
 def test_paragraph_dedup_within_doc_repeat_also_dropped(spark):
     from text_extract_api_spark.functions.dedup import paragraph_dedup
 

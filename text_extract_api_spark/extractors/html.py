@@ -64,7 +64,10 @@ class _BlockParser(HTMLParser):
         self._a_depth = 0
 
     def _flush(self) -> None:
-        text = _WS_RE.sub(" ", "".join(self._buf)).strip()
+        # strip EXACTLY the engine's whitespace class: bare .strip() trims
+        # all Unicode whitespace (\x0b, \f, NBSP…) — diverges from the JVM/
+        # DuckDB trim discipline on exotic-whitespace payloads
+        text = _WS_RE.sub(" ", "".join(self._buf)).strip(" \t\r\n")
         if text:
             self.blocks.append((text, self._total_chars, self._link_chars))
         self._buf = []

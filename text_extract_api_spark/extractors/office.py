@@ -55,7 +55,9 @@ def extract_docx_py(data: bytes) -> str:
     paras = []
     for p in root.iter(f"{_W_NS}p"):
         runs = [t.text or "" for t in p.iter(f"{_W_NS}t")]
-        text = "".join(runs).strip()
+        # space-class strip (' \t\r\n') — bare .strip() would also trim
+        # \x0b/\f/NBSP and diverge from the oracle's trim discipline
+        text = "".join(runs).strip(" \t\r\n")
         if text:
             paras.append(text)
     return "\n".join(paras)
@@ -84,7 +86,9 @@ def extract_pptx_py(data: bytes) -> str:
             except Exception:
                 continue
             runs = [t.text or "" for t in root.iter(f"{_A_NS}t")]
-            text = "\n".join(r.strip() for r in runs if r.strip())
+            text = "\n".join(
+                r.strip(" \t\r\n") for r in runs if r.strip(" \t\r\n")
+            )
             if text:
                 out.append(text)
     return "\n\n".join(out)
@@ -143,7 +147,16 @@ def make_pptx(slides: list[list[str]]) -> bytes:
     return buf.getvalue()
 
 
+# XML 1.0 forbids these control chars even as character references — a
+# writer MUST drop (or substitute) them or the produced part is not a valid
+# OOXML document and any conformant parser rejects it (our extractors would
+# quarantine the whole doc to ''). Real-world Word/PowerPoint never emit
+# them; the corpus synthesizer must not either.
+_XML_ILLEGAL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _xml_escape(s: str) -> str:
+    s = _XML_ILLEGAL_RE.sub("", s)
     return (
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )

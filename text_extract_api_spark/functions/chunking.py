@@ -73,7 +73,11 @@ def chunk_token_windows(
             for did, txt in zip(pdf["doc_id"].values, pdf["text"].values):
                 if txt is None:
                     continue
-                t = txt.strip()
+                # strip EXACTLY the oracle's whitespace class (' \t\r\n'):
+                # bare .strip() trims all Unicode whitespace (\x0b, \f,
+                # NBSP…) while DuckDB trim() and WS_SPLIT don't — a latent
+                # parity divergence on exotic-whitespace docs.
+                t = txt.strip(" \t\r\n")
                 if not t:
                     continue  # empty docs produce no chunks
                 w = ws.split(t)

@@ -110,10 +110,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     cluster_id is the minimum id of the node's connected component; roots
     map to themselves. Deterministic; converges in O(log² n) alternating
     large-star/small-star rounds (see module docstring).
+
+    The caller's id type is preserved end-to-end: the star ops only need a
+    total order, which every orderable Spark type has (for string doc_ids —
+    UUIDs, prefixed ids — "minimum" is lexicographic, matching DuckDB
+    ``min()`` over VARCHAR). Casting to long here would NULL non-numeric
+    ids and the ``u != v`` filter would silently drop those edges; at scale
+    prefer mapping very long string ids to dense long surrogates *outside*
+    this function (one join each way) — comparisons stay cheap and the
+    output type is still the caller's.
     """
-    edges = pairs.select(
-        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
-    )
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # Converged ⇔ the frame is a star forest with UNIQUE parents:

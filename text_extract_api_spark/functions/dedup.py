@@ -418,19 +418,31 @@ def paragraph_dedup(
        aggregation as the reassembly (conditional collect_list of
        (pos, para) structs — collect_list skips the NULLs that the
        when()-without-otherwise emits for dropped paragraphs), so no
-       third shuffle and every document survives, including ones whose
-       every paragraph was boilerplate (n_kept = 0, clean_fp = md5('')).
+       third shuffle and EVERY document survives: ones whose every
+       paragraph was boilerplate (n_kept = 0, clean_fp = md5('')) and —
+       via ``posexplode_outer`` + a left join on the counts — ones whose
+       paras array is empty or NULL (n_paras = 0, n_kept = 0,
+       clean_fp = md5('')), so downstream anti-joins never mistake an
+       empty doc for an unprocessed one (ADVICE r3). A literal NULL
+       *element* inside paras hashes to a NULL pk, misses the count
+       join, and is treated as dropped boilerplate (counted in n_paras,
+       never in n_kept/clean_fp).
     No driver-side state; occurrence counts never leave the executors.
     """
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(paras_col).alias("n_paras"),
-        F.posexplode(paras_col).alias("pos", "para"),
+        # explicit NULL→0 (not coalesce: legacy size(NULL) is -1, not NULL)
+        F.when(F.col(paras_col).isNull(), F.lit(0))
+        .otherwise(F.size(paras_col))
+        .alias("n_paras"),
+        F.posexplode_outer(paras_col).alias("pos", "para"),
     ).withColumn("pk", F.md5("para"))
-    counts = exploded.groupBy("pk").agg(F.count("*").alias("n_occ"))
+    counts = exploded.filter(F.col("pk").isNotNull()).groupBy("pk").agg(
+        F.count("*").alias("n_occ")
+    )
     keep = F.col("n_occ") < min_count
     return (
-        exploded.join(counts, "pk")
+        exploded.join(counts, "pk", "left")
         .groupBy("doc_id")
         .agg(
             F.first("n_paras").alias("n_paras"),

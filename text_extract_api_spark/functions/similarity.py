@@ -95,7 +95,15 @@ def cosine_topk_batch(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
             vn = np.sqrt((V * V).sum(axis=1))
-            S = (V @ Q.T) / (vn[:, None] * qn[None, :])
+            # zero-norm guard: an all-zero embedding (or query) would make
+            # numpy emit NaN, which np.lexsort/pandas/Spark rank
+            # INCONSISTENTLY (Spark sorts NaN greatest — NaN rows could
+            # occupy top-k slots on sparse partitions). The engines' JVM/
+            # DuckDB twins produce NULL here, which both rank LAST under
+            # score DESC; -inf reproduces that ranking deterministically.
+            denom = vn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom == 0.0, -np.inf, (V @ Q.T) / np.where(denom == 0.0, 1.0, denom))
             S = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
             for j in range(len(qid_arr)):
                 col = S[:, j]
@@ -462,7 +470,13 @@ _STORE_MEMO: dict[tuple[str, str], object] = {}
 
 
 def _memo(spark, path: str, build):
-    key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    # evict entries from prior applications: their JVM relations are dead
+    # refs and the dict would otherwise grow unboundedly across session
+    # restarts in one Python process (ADVICE r3)
+    for stale in [k for k in _STORE_MEMO if k[0] != app]:
+        del _STORE_MEMO[stale]
+    key = (app, path)
     if key not in _STORE_MEMO:
         _STORE_MEMO[key] = build()
     return _STORE_MEMO[key]

@@ -2,7 +2,9 @@
 
 Rewrites a slice of the documents table with the degenerate payloads a real
 web corpus contains — empty strings, whitespace-only, control whitespace,
-dense ASCII punctuation, a 5 000-char run, single-token docs — keeping every
+dense ASCII punctuation, a 5 000-char run, single-token docs, exotic
+ASCII whitespace (\\x0b/\\f — OUTSIDE the ' \\t\\r\\n' trim class both
+engines use, catches bare-.strip() parity bugs) — keeping every
 other table byte-identical. `n_chars` is recomputed so the synth pipelines
 stay consistent. Used by tests/test_edge_parity.py and runnable standalone:
 
@@ -47,6 +49,7 @@ _EDGE_TEXT = """
       WHEN 5 THEN repeat('a', 5000)
       WHEN 6 THEN 'word'
       WHEN 7 THEN chr(10) || ' padded  text ' || chr(9)
+      WHEN 8 THEN chr(11) || ' vertical tab ' || chr(12) || ' edges ' || chr(11)
       ELSE text END
 """.strip()
 
