@@ -1237,23 +1237,14 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language document-length distribution (p50/p90/p99 of n_chars) —
-    the first cut of any mix-design or outlier-filter decision. Exact
-    interpolated percentiles (one sort-based agg per group; at 100 TB swap
-    for percentile_approx and drop the oracle to rows-only). The shared
-    +1e-9 epsilon guards the 4-dp rounding against the two engines'
-    last-ulp interpolation difference ((1-g)a+gb vs a+(b-a)g)."""
-    eps = F.lit(1e-9)
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("lang")
-        .agg(
-            F.round(F.percentile("n_chars", 0.5) + eps, 4).alias("p50_chars"),
-            F.round(F.percentile("n_chars", 0.9) + eps, 4).alias("p90_chars"),
-            F.round(F.percentile("n_chars", 0.99) + eps, 4).alias("p99_chars"),
-            F.count("*").cast("bigint").alias("n_docs"),
-        )
-    )
+    """Per-language document-length distribution (p50/p90/p99 of n_chars).
+    Exact mode here (the oracle-checked path); the 100-TB swap is
+    ``length_quantiles(..., approx=True)`` — a mergeable bounded-size
+    sketch, error-bounded against this path by
+    tests/test_quality.py::test_length_quantiles_approx."""
+    from text_extract_api_spark.functions.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir), approx=False)
 
 
 VOCAB_K = 200
@@ -1395,31 +1386,12 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup routinely drops 30-50%), so a broadcast would OOM — AQE still
     downgrades to broadcast when the set is genuinely small.
     """
-    from text_extract_api_spark.functions.clustering import neardup_clusters
+    from text_extract_api_spark.functions.prep import funnel_verdicts
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_near_dups(docs, threshold=NEARDUP_T).select("id_a", "id_b")
-    noncanon = (
-        neardup_clusters(pairs)
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
-        .withColumn("is_dup", F.lit(True))
-    )
-    sig = quality.repetition_cols("text")
-    scored = docs.select(
-        "doc_id",
-        lang_id_col(F.col("text")).alias("lang_pred"),
-        quality_score_col(F.col("text")).alias("q"),
-        quality.rep_flagged_col(sig).alias("repf"),
-    )
-    return scored.join(noncanon.hint("merge"), "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("is_dup"), F.lit("near_dup"))
-        .when(F.col("lang_pred") == "und", F.lit("lang_und"))
-        .when(F.col("q") < QUALITY_MIN, F.lit("low_quality"))
-        .when(F.col("repf"), F.lit("repetition"))
-        .otherwise(F.lit("keep"))
-        .alias("verdict"),
+    return funnel_verdicts(
+        _docs(spark, sf_dir),
+        neardup_threshold=NEARDUP_T,
+        quality_min=QUALITY_MIN,
     )
 
 
@@ -2081,20 +2053,17 @@ def q_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage is the already-verified operator — this query pins that they
     compose (column contracts line up, determinism survives chaining) and
-    gives the judge/user one entry point for the whole prep pipeline."""
-    from text_extract_api_spark.functions.sampling import (
-        quota_per_stratum,
-        shard_assign,
-    )
+    gives the judge/user one entry point for the whole prep pipeline. The
+    shippable resumable form is ``jobs/corpus_prep.py`` (same composition
+    via functions/prep.py, staged checkpoints + reject table)."""
+    from text_extract_api_spark.functions.prep import prep_manifest
 
-    kept_ids = q_corpus_filter_funnel(spark, sf_dir).filter(
-        F.col("verdict") == "keep"
+    return prep_manifest(
+        _docs(spark, sf_dir),
+        q_corpus_filter_funnel(spark, sf_dir),
+        quota=QUOTA_PER_SOURCE,
+        n_shards=N_SHARDS,
     )
-    kept = _docs(spark, sf_dir).select("doc_id", "source").join(
-        kept_ids.select("doc_id"), "doc_id", "inner"
-    )
-    capped = quota_per_stratum(kept, quota=QUOTA_PER_SOURCE)
-    return shard_assign(capped, n_shards=N_SHARDS, extra_cols=("source",))
 
 
 # ------------------------------------------------------------ driver contract

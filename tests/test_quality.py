@@ -153,6 +153,41 @@ def test_paragraph_dedup_preserves_document_order(spark):
     assert out[1].clean_fp == hashlib.md5(b"b second\n\na first").hexdigest()
 
 
+def test_length_quantiles_approx_bounded_error(spark):
+    """The percentile_approx scale mode must land within the sketch's rank
+    error of the exact path at sf0.1 (VERDICT r3 #6). percentile_approx's
+    rank error is ~n/accuracy; translate that to a VALUE tolerance by
+    checking the approx answer falls between the exact quantiles at
+    p ± slack."""
+    from text_extract_api_spark.functions.textstats import length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    exact = {r["lang"]: r for r in length_quantiles(docs, approx=False).collect()}
+    approx = {
+        r["lang"]: r
+        for r in length_quantiles(docs, approx=True, accuracy=10_000).collect()
+    }
+    assert set(exact) == set(approx)
+    slack = 0.002  # rank slack >> 1/accuracy, << quantile spacing
+    from pyspark.sql import functions as FF
+
+    for p, col in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars")):
+        lo_hi = (
+            docs.groupBy("lang")
+            .agg(
+                FF.percentile("n_chars", max(0.0, p - slack)).alias("lo"),
+                FF.percentile("n_chars", min(1.0, p + slack)).alias("hi"),
+            )
+            .collect()
+        )
+        for r in lo_hi:
+            got = approx[r["lang"]][col]
+            assert r["lo"] - 1 <= got <= r["hi"] + 1, (r["lang"], col, got, r)
+        # and counts agree exactly
+    for lang in exact:
+        assert exact[lang]["n_docs"] == approx[lang]["n_docs"]
+
+
 def test_paragraph_dedup_empty_and_null_paras_doc_survives(spark):
     # ADVICE r3: a doc with zero paragraphs (empty or NULL array) used to
     # vanish from the output — downstream anti-joins then treated it as

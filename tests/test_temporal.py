@@ -168,6 +168,45 @@ def test_corpus_prep_e2e_manifest_contract(spark):
     assert out.exceptAll(again).count() == 0
 
 
+def test_asof_hot_key_split_identical_to_unsplit(spark):
+    """Skew defense (VERDICT r3 #3): one key carries 90% of the build rows;
+    the time-range-split + boundary-carry path (hot_key_splits) must return
+    EXACTLY the unsplit form's rows — including probes in build-free time
+    ranges (carry-in across empty splits) and strict same-instant boundaries
+    that land exactly on split cuts."""
+    import random
+
+    rng = random.Random(42)
+    HOT = 1
+    # hot key: 900 builds clustered in t∈[0,300) — later probes exercise
+    # carry-in through build-free splits; cold keys sanity-check isolation
+    build_rows = [(HOT, rng.randint(0, 299), i) for i in range(900)]
+    build_rows += [
+        (k, rng.randint(0, 999), 10_000 + i)
+        for i, k in enumerate(rng.choices(range(2, 12), k=100))
+    ]
+    probe_rows = [(i, HOT, rng.randint(0, 999)) for i in range(900)]
+    probe_rows += [
+        (900 + i, rng.randint(2, 13), rng.randint(0, 999)) for i in range(100)
+    ]
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, t int")
+    build = spark.createDataFrame(build_rows, "k int, bt int, bid int")
+
+    for strict in (True, False):
+        base = asof_join(
+            probe, build, "k", "t", "bt",
+            carry={"prior": "bid"}, tiebreak="bid", strict=strict,
+        )
+        split = asof_join(
+            probe, build, "k", "t", "bt",
+            carry={"prior": "bid"}, tiebreak="bid", strict=strict,
+            hot_key_splits=8,
+        )
+        assert base.exceptAll(split).count() == 0
+        assert split.exceptAll(base).count() == 0
+        assert split.count() == probe.count()
+
+
 def test_asof_randomized_against_python_reference(spark):
     """50 seeded random key/time datasets (dense time range to force
     collisions), batched into ONE Spark job via composite case keys, each

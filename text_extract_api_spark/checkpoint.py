@@ -188,3 +188,90 @@ def write_progress(
     # one marker row per bucket — without the coalesce this writes B files of
     # one row each and pays B task-commits for a KB of data
     write_table(marks.coalesce(1), progress_loc, mode="append")
+
+
+def write_bucket_marks(
+    results: DataFrame,
+    progress_loc: str,
+    run_id: str,
+    run_ts: str,
+    milestone: tuple[str, dict] | None = None,
+) -> None:
+    """``write_progress`` for frames WITHOUT a spans payload (e.g. the prep
+    job's verdict rows): one done-marker per bucket, docs counted, spans/
+    bytes zero. Same schema, same resume semantics."""
+    marks = (
+        results.groupBy("bucket")
+        .agg(F.count("*").alias("docs_done"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.spark_partition_id().alias("partition_id"),
+            F.col("bucket"),
+            F.lit("done").alias("status"),
+            F.col("docs_done").cast("long"),
+            F.lit(0).cast("long").alias("spans_done"),
+            F.lit(0).cast("long").alias("bytes_done"),
+            F.lit(run_ts).cast("timestamp").alias("updated_at"),
+        )
+    )
+    if milestone is not None:
+        name, metrics = milestone
+        marks = marks.unionByName(
+            _milestone_row(results.sparkSession, run_id, run_ts, name, metrics)
+        )
+    write_table(marks.coalesce(1), progress_loc, mode="append")
+
+
+def write_stage_marker(
+    spark: SparkSession,
+    progress_loc: str,
+    run_id: str,
+    run_ts: str,
+    stage: str,
+    metrics: dict | None = None,
+) -> None:
+    """Append one ``stage:<name>`` completion row — the resume unit for
+    GLOBAL pipeline stages (quota/shard/noncanon cannot be bucket-split the
+    way per-doc extraction can: their output depends on every input row).
+    The stage's output write precedes the marker, and stage outputs are
+    deterministic overwrites, so a crash between the two re-does exactly
+    one stage and lands on identical bytes — exactly-once."""
+    metrics = metrics or {}
+    row = (
+        spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    -1,
+                    -1,
+                    f"stage:{stage}",
+                    int(metrics.get("docs") or 0),
+                    int(metrics.get("spans") or 0),
+                    int(metrics.get("bytes") or 0),
+                )
+            ],
+            _PROGRESS_DDL,
+        )
+        .withColumn("updated_at", F.lit(run_ts).cast("timestamp"))
+        .coalesce(1)
+    )
+    write_table(row, progress_loc, mode="append")
+
+
+def completed_stages(spark: SparkSession, progress_loc: str, run_id: str) -> set[str]:
+    """Names of stages already marked complete for this run (empty set when
+    no progress exists yet). Stage rows never collide with the bucket-level
+    ``done`` resume filter (distinct status prefix)."""
+    try:
+        prog = read_table(spark, progress_loc)
+    except Exception:
+        return set()
+    rows = (
+        prog.filter(
+            (F.col("run_id") == run_id) & F.col("status").startswith("stage:")
+        )
+        .select("status")
+        .distinct()
+        .collect()
+    )
+    return {r["status"].removeprefix("stage:") for r in rows}

@@ -138,3 +138,44 @@ def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 over the casefolded alphanumeric skeleton —
     robust to whitespace/punctuation edits (cheap canonical near-dup key)."""
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def length_quantiles(
+    docs,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    approx: bool = False,
+    accuracy: int = 10_000,
+):
+    """Per-group value distribution (p50/p90/p99 + count) — the first cut of
+    any mix-design or outlier-filter decision.
+
+    Two modes (VERDICT r3 #6):
+
+    - ``approx=False`` (default, the oracle-checked path): exact
+      interpolated percentiles. One sort-based agg per group — fine while a
+      group's values fit an executor, which stops being true at 100 TB.
+    - ``approx=True`` (the scale path): ``percentile_approx`` over a
+      KLL/GK-style sketch of bounded size (``accuracy`` controls the
+      rank-error bound ~1/accuracy). Sketches merge associatively, so the
+      agg is a normal partial/final aggregation — memory is O(accuracy) per
+      group regardless of corpus size, and no group ever needs its values
+      co-resident. Returns discrete observed values (no interpolation), so
+      it carries no SQL oracle — bounded-error parity vs the exact path is
+      pinned by ``tests/test_quality.py::test_length_quantiles_approx``.
+
+    The +1e-9 epsilon on the exact path guards 4-dp rounding against the
+    engines' last-ulp interpolation difference ((1-g)a+gb vs a+(b-a)g).
+    """
+    if approx:
+        pct = lambda p: F.percentile_approx(value_col, p, accuracy)  # noqa: E731
+        eps = F.lit(0)
+    else:
+        pct = lambda p: F.percentile(value_col, p)  # noqa: E731
+        eps = F.lit(1e-9)
+    return docs.groupBy(group_col).agg(
+        F.round(pct(0.5) + eps, 4).alias("p50_chars"),
+        F.round(pct(0.9) + eps, 4).alias("p90_chars"),
+        F.round(pct(0.99) + eps, 4).alias("p99_chars"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
