@@ -907,6 +907,84 @@ def q_dedup_exact_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents table. The file stream source
+    rejects a bare FILE path in Spark 4 ("basePath must be a directory");
+    a glob that matches only the table file makes the source derive its
+    basePath from the glob's parent directory instead."""
+    return spark.readStream.schema(_DOCS_DDL).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+
+
+def _drain_stream(writer, spark: SparkSession) -> DataFrame:
+    """Start an availableNow streaming query into a fresh memory sink +
+    ephemeral checkpoint, drain it, return the sink table. Fresh checkpoint
+    per call = always a full drain (a reused checkpoint would silently skip
+    already-seen files and return an empty frame on re-run)."""
+    import tempfile
+    import uuid
+
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    q = (
+        writer.queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming pass (not a batch stand-in): drain the
+    documents table through the custom stateful operator
+    (``applyInPandasWithState``, streaming/stateful.py) with an
+    availableNow trigger and return each source's FINAL state. Final totals
+    are trigger-layout-independent (monotone per-key accumulation), so the
+    batch groupBy oracle checks them exactly; the ``batches`` counter — the
+    only trigger-dependent column — is deliberately excluded from the
+    checked projection (pinned instead by tests/test_streaming.py)."""
+    from text_extract_api_spark.streaming.stateful import running_source_totals
+
+    stream = _docs_stream(spark, sf_dir)
+    sink = _drain_stream(
+        running_source_totals(stream)
+        .writeStream.format("memory")
+        .outputMode("update"),
+        spark,
+    )
+    # last update per key = final state (batches is monotone per key)
+    return (
+        sink.groupBy("source")
+        .agg(F.max(F.struct("batches", "docs", "bytes")).alias("m"))
+        .select(
+            "source",
+            F.col("m.docs").alias("docs"),
+            F.col("m.bytes").alias("bytes"),
+        )
+    )
+
+
+def q_streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (state-store ``dropDuplicates``,
+    streaming/dedup.py semantics) drained availableNow; returns the emitted
+    distinct content-hash SET — order-independent by construction (which
+    doc_id arrives first per hash is scheduling-dependent; the hash set is
+    not), so the DISTINCT-md5 oracle checks it exactly."""
+    deduped = _docs_stream(spark, sf_dir).select(
+        F.md5("text").alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+    sink = _drain_stream(
+        deduped.writeStream.format("memory").outputMode("append"), spark
+    )
+    return sink.select("content_hash")
+
+
 def q_page_explode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 100.0)).cast("int")
@@ -2113,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_flat": q_pipeline_extract_flat,
         "pipeline_extract_office": q_pipeline_extract_office,
         "dedup_exact_payload": q_dedup_exact_payload,
+        "streaming_source_totals": q_streaming_source_totals,
+        "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
         "vocab_topk": q_vocab_topk,
@@ -2137,11 +2217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "media_image_metadata": q_media_image_metadata,
-        "media_frame_sample": q_media_frame_sample,
         "media_quarantine": q_media_quarantine,
         "image_to_pdf": q_image_to_pdf,
         # --- 51+: long-stable (green r2 AND r3, code unchanged) ------------
+        "media_image_metadata": q_media_image_metadata,
+        "media_frame_sample": q_media_frame_sample,
         "route_dispatch": q_route_dispatch,
         "content_hash": q_content_hash,
         "cache_anti_join": q_cache_anti_join,
@@ -2298,6 +2378,17 @@ WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 10 = 0 AND md5(c.te
         "cache_semi_join": """
 SELECT d.doc_id, md5(d.text) AS content_hash FROM documents d
 WHERE EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 10 = 0 AND md5(c.text) = md5(d.text))
+""".strip(),
+        # Streaming twins: the Spark side is a REAL availableNow streaming
+        # drain (state store + applyInPandasWithState); its final state /
+        # emitted set is trigger-layout-independent, hence exactly
+        # SQL-checkable. SUM cast: DuckDB sums BIGINT into HUGEINT.
+        "streaming_source_totals": """
+SELECT source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS bytes
+FROM documents GROUP BY source
+""".strip(),
+        "streaming_dedup_distinct": """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
 """.strip(),
         "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"
         """

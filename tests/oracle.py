@@ -30,7 +30,11 @@ _WS = re.compile(r"[ \t\r\n]+")
 
 
 def norm(s: str) -> str:
-    return _WS.sub(" ", s).strip()
+    # F.trim twin: SPACE-ONLY strip. After the [ \t\r\n]+ collapse any
+    # leading/trailing run of that class is a single space, and exotic
+    # whitespace (\x0b, \f, NBSP) must SURVIVE — bare .strip() would eat it
+    # and diverge from both engines' trim discipline.
+    return _WS.sub(" ", s).strip(" ")
 
 
 def anonymize(s: str) -> str:

@@ -1,0 +1,72 @@
+"""Physical-plan regression gate (VERDICT r3 #8).
+
+Compiles the plan-sensitive LAZY queries (no driver actions in their
+builders) at sf0.001 and asserts the operator counts that matter at 100 TB
+never regress past the audited values in BENCH/PLANS.md: a new shuffle, a
+lost filter pushdown, or an extra Arrow boundary now fails CI instead of
+waiting for a judge. Bounds are ≤ (improvements pass silently — update the
+table); counts are STATIC pre-AQE upper bounds, deterministic for a fixed
+Spark version.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (max shuffles, max arrow stages, max windows, pushdown required)
+BOUNDS = {
+    "dedup_paragraphs": (4, 0, 0, False),
+    "chunk_windows": (1, 1, 0, False),
+    "pack_sequences": (6, 2, 1, False),
+    "quality_repetition": (1, 0, 0, False),
+    "decontaminate_ngrams": (3, 0, 0, True),
+    "length_quantiles": (2, 0, 0, False),
+    "vocab_topk": (2, 0, 0, False),
+    "token_count_bpe": (1, 0, 0, False),
+    "pii_anonymize": (1, 0, 0, False),
+    "ner_anonymize": (1, 0, 0, False),
+    "url_domain_stats": (3, 0, 0, False),
+    "quality_score": (1, 0, 0, False),
+    "page_explode_concat": (2, 0, 0, False),
+    "span_kind_stats": (5, 0, 0, True),
+    "events_asof_purchase": (2, 0, 1, True),
+    "quota_per_source": (3, 0, 2, False),
+    "shard_assign": (2, 0, 1, False),
+    "events_sessionize": (1, 0, 2, False),
+    "events_hourly_rollup": (1, 0, 0, False),
+    "tpch_q1_pricing_summary": (1, 0, 0, True),
+    "tpch_q6_revenue": (1, 0, 0, True),
+    "tpch_q3_top_orders": (1, 0, 0, True),
+}
+
+
+@pytest.fixture(scope="module")
+def audit_fn():
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "tools", "plan_audit.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.audit
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_plan_operator_counts_do_not_regress(spark, audit_fn, name):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF)
+    r = audit_fn(df)
+    max_sh, max_arrow, max_win, need_push = BOUNDS[name]
+    assert r["shuffles"] <= max_sh, (name, "shuffles", r)
+    assert r["arrow"] <= max_arrow, (name, "arrow boundaries", r)
+    assert r["windows"] <= max_win, (name, "window ops", r)
+    if need_push:
+        assert r["pushed_filters"], (name, "lost parquet filter pushdown", r)
