@@ -63,6 +63,7 @@ def parse_eventlog(evl_dir: str) -> dict:
         f"{evl_dir}/*"
     )
     run = cpu = gc = 0.0
+    sh_write = sh_read = 0
     n_tasks = 0
     for path in paths:
         if os.path.isdir(path) or path.endswith(".crc"):
@@ -82,10 +83,18 @@ def parse_eventlog(evl_dir: str) -> dict:
                 run += m.get("Executor Run Time", 0) / 1000
                 cpu += m.get("Executor CPU Time", 0) / 1e9
                 gc += m.get("JVM GC Time", 0) / 1000
+                sw = m.get("Shuffle Write Metrics") or {}
+                sh_write += sw.get("Shuffle Bytes Written", 0)
+                sr = m.get("Shuffle Read Metrics") or {}
+                sh_read += sr.get("Local Bytes Read", 0) + sr.get(
+                    "Remote Bytes Read", 0
+                )
     return {
         "task_run_core_s": round(run),
         "task_cpu_core_s": round(cpu),
         "gc_s": round(gc),
+        "shuffle_write_mb": round(sh_write / 1e6, 1),
+        "shuffle_read_mb": round(sh_read / 1e6, 1),
         "n_tasks": n_tasks,
     }
 
