@@ -196,3 +196,57 @@ def test_watermarked_windowed_rollup(spark, sf_dir, tmp_path):
     missing = set(expected) - set(got)
     max_hour = max(h for h, _ in expected)
     assert all(h >= max_hour or h == max_hour for h, _ in missing) or len(missing) <= 4
+
+
+def test_windowed_dedup_horizon_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark variant: a duplicate WITHIN the
+    horizon is dropped (across micro-batches and a restart), a repeat
+    BEYOND it re-emits — state is evicted, so recrawl-freshness semantics
+    hold and the store stays horizon-bounded."""
+    from pyspark.sql import functions as F
+
+    from text_extract_api_spark.streaming.dedup import run_streaming_dedup_windowed
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    t0 = "2026-01-01 00:00:00"
+
+    def add_file(rows):
+        spark.createDataFrame(rows, "payload string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(t0)
+    add_file([("P", base), ("Q", base)])
+    run_streaming_dedup_windowed(spark, inp, out, delay="1 hour")
+    got = spark.read.parquet(f"{out}/unique")
+    assert got.count() == 2  # first arrivals of P and Q
+
+    # restart drain: in-horizon duplicates (same ts, +10 min) are dropped
+    add_file([("P", base), ("P", base + dt.timedelta(minutes=10))])
+    run_streaming_dedup_windowed(spark, inp, out, delay="1 hour")
+    assert spark.read.parquet(f"{out}/unique").count() == 2
+
+    # advance the watermark past P's horizon (watermark moves on event
+    # time, and eviction happens when the watermark PASSES entry expiry —
+    # a later event must arrive first; that is the operator's contract,
+    # not a test artifact)
+    add_file([("R", base + dt.timedelta(hours=24))])
+    run_streaming_dedup_windowed(spark, inp, out, delay="1 hour")
+    assert spark.read.parquet(f"{out}/unique").count() == 3  # + R
+
+    # repeat 48h later — state for P's first arrival has been evicted:
+    # re-emitted as a NEW event (recrawl-freshness semantics)
+    add_file([("P", base + dt.timedelta(hours=48))])
+    run_streaming_dedup_windowed(spark, inp, out, delay="1 hour")
+    final = spark.read.parquet(f"{out}/unique")
+    assert final.count() == 4
+    per = {
+        r["content_hash"]: r["n"]
+        for r in final.groupBy("content_hash")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sorted(per.values()) == [1, 1, 2]  # P twice (horizons), Q, R once

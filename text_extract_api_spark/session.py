@@ -57,6 +57,13 @@ def get_spark(
         # parallelismFirst=false (≈4 tasks/core to amortize stragglers) ran
         # 25-35% SLOWER at local[8] — per-task Python-worker handoff and
         # exchange-read overhead outweigh tail smoothing at this batch size.
+        # ZSTD shuffle/broadcast/spill compression (r4, measured): cuts the
+        # flagship job's shuffled bytes 579→244 MB (2.37×) with task CPU
+        # flat and wall never worse in an interleaved lz4/zstd A/B
+        # (tools/codec_ab.py, BASELINE.md r4). Shuffled bytes are the
+        # scaling currency — DRAM-bus sharing is the N→4N residual on
+        # multi-tenant hosts, and at 100 TB they are real network/disk.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound Arrow batch size: one batch of oversized media spans must fit

@@ -52,7 +52,10 @@ SHUFFLE_PARTITIONS = 64  # fixed across levels: parallelism must come from
 # -pinned = both levels CPU-pinned with taskset so N really runs on N cores
 # (unpinned local[2] borrowed idle cores via GC/Python/commit threads and
 # understated the ratio).
-METHOD = "r3-slim-pinned"
+# r4-zstd = engine default shuffle codec switched lz4→zstd (session.py):
+# shuffled bytes fall 2.37× at flat task CPU (tools/codec_ab.py) — a
+# measurement-relevant change, so pairs pool separately from r3-slim.
+METHOD = "r4-zstd-pinned"
 
 
 def parse_eventlog(evl_dir: str) -> dict:
