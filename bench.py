@@ -53,6 +53,9 @@ HEADLINE = [
     "shard_assign",
     "corpus_prep_e2e",
     "dedup_embedding_cosine",
+    "dedup_incremental",
+    "url_canonicalize",
+    "ann_quantized_topk",
     "ann_cosine_topk",
     "ann_batch_topk",
     "ann_lsh_topk",

@@ -31,6 +31,9 @@ BOUNDS = {
     "pii_anonymize": (1, 0, 0, False),
     "ner_anonymize": (1, 0, 0, False),
     "url_domain_stats": (3, 0, 0, False),
+    # 3 = input-split repartition + the two agg levels (no countDistinct
+    # Expand — see urlnorm.canonical_url_dedup)
+    "url_canonicalize": (3, 0, 0, False),
     "quality_score": (1, 0, 0, False),
     "page_explode_concat": (2, 0, 0, False),
     "span_kind_stats": (5, 0, 0, True),

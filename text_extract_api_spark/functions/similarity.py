@@ -458,6 +458,114 @@ def ivf_topk_stored(
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+def quantize_int8(vec) -> tuple[list[int], float]:
+    """Symmetric per-vector int8 quantization (the FAISS SQ8 family):
+    ``s = 127 / max(|v|)``, ``q_i = sign(v_i) * floor(|v_i|*s + 0.5)``.
+    Returns (q, s). Half-away rounding via the multiply-floor form — the
+    same primitive in numpy, Python and SQL, so the engine and the DuckDB
+    oracle produce bit-identical codes. All arithmetic in float64; the
+    caller must pre-filter zero vectors (s would be infinite)."""
+    import math
+
+    v = [float(x) for x in vec]
+    maxabs = max(abs(x) for x in v)
+    s = 127.0 / maxabs
+    q = [
+        int(math.floor(x * s + 0.5)) if x >= 0 else -int(math.floor(-x * s + 0.5))
+        for x in v
+    ]
+    return q, s
+
+
+def build_quantized_store(
+    embeddings: DataFrame, path: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the int8-quantized corpus: (vec_id, q array<tinyint>,
+    scale, qn) — 4x fewer bytes than the float32 vectors, which at 10^12
+    vectors is the difference between an in-cache scan and a disk-bound one.
+    ``qn`` (the integer self-dot) is precomputed at build time so the query
+    path never touches it. One narrow Arrow map, zero shuffles; zero-norm
+    vectors are excluded at build (cosine undefined — same contract as the
+    oracle's ``maxabs > 0`` filter)."""
+    import numpy as np
+    import pandas as pd
+
+    def _quant(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            maxabs = np.abs(V).max(axis=1)
+            keep = maxabs > 0.0
+            if not keep.any():
+                continue
+            V, ids, maxabs = V[keep], ids[keep], maxabs[keep]
+            s = 127.0 / maxabs
+            P = V * s[:, None]
+            Q = np.where(P >= 0.0, np.floor(P + 0.5), -np.floor(-P + 0.5))
+            qn = (Q * Q).sum(axis=1)  # integer-valued, exact in float64
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "q": [row.astype(np.int8) for row in Q],
+                    "scale": s,
+                    "qn": qn,
+                }
+            )
+
+    embeddings.select(id_col, vec_col).mapInPandas(
+        _quant, "vec_id long, q array<tinyint>, scale double, qn double"
+    ).write.mode("overwrite").parquet(path)
+
+
+def quantized_topk_stored(
+    spark, store_path: str, query_vec: list[float], k: int = 20,
+) -> DataFrame:
+    """Exact top-k over the int8 store: quantized cosine
+    ``(q_e . q_q) / (sqrt(q_e . q_e) * sqrt(q_q . q_q))``. The dot products
+    are INTEGER sums — exact in any accumulation order, so the vectorized
+    numpy matmul, a JVM fold and the DuckDB oracle agree bit-for-bit (float
+    sums would not: perf note #9). Same two-phase shape as
+    cosine_topk_batch: per-partition numpy top-k, only partitions x k
+    survivor rows reach the final window."""
+    import numpy as np
+    import pandas as pd
+
+    qq, _ = quantize_int8(query_vec)
+    qarr = np.array(qq, dtype=np.float64)
+    qn_q = float(np.sqrt((qarr * qarr).sum()))
+
+    def _part(iterator):
+        parts: list[pd.DataFrame] = []
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            qn = np.sqrt(pdf["qn"].to_numpy())
+            dot = Q @ qarr
+            denom = qn * qn_q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom == 0.0, -np.inf, dot / np.where(denom == 0.0, 1.0, denom))
+            s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+            top = np.lexsort((ids, -s))[:k]
+            parts.append(pd.DataFrame({"vec_id": ids[top], "score": s[top]}))
+        if parts:
+            merged = (
+                pd.concat(parts)
+                .sort_values(["score", "vec_id"], ascending=[False, True])
+                .head(k)
+            )
+            yield merged
+
+    survivors = _read_store(spark, store_path).mapInPandas(
+        _part, "vec_id long, score double"
+    )
+    return survivors.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
 # Per-application memo of opened store relations and collected codebooks:
 # re-running spark.read.parquet on every probe repeats partition discovery
 # (~0.3 s on a 64-bucket store — 3-4x the probe itself), and re-collecting
