@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_prep_e2e",
     "dedup_embedding_cosine",
     "dedup_incremental",
+    "dedup_exact_normalized",
     "url_canonicalize",
     "ann_quantized_topk",
     "ann_cosine_topk",

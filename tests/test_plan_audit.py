@@ -34,6 +34,8 @@ BOUNDS = {
     # 3 = input-split repartition + the two agg levels (no countDistinct
     # Expand — see urlnorm.canonical_url_dedup)
     "url_canonicalize": (3, 0, 0, False),
+    # 3 = input-split repartition + two agg levels; 1 arrow = the NFC kernel
+    "dedup_exact_normalized": (3, 1, 0, False),
     "quality_score": (1, 0, 0, False),
     "page_explode_concat": (2, 0, 0, False),
     "span_kind_stats": (5, 0, 0, True),

@@ -133,7 +133,11 @@ def extract_main_content_py(html: str) -> str:
             continue
         if link_chars / total > MAX_LINK_DENSITY:
             continue
-        if len(text.split()) < MIN_WORDS:
+        # word count under the engine's WS class: _flush already collapsed
+        # [ \t\r\n]+ to single spaces, so split on the literal space — bare
+        # .split() would treat \x1c-\x1f etc. as word breaks and drop
+        # blocks whose only content is such a char (norm/trim keep it)
+        if len(text.split(" ")) < MIN_WORDS:
             continue
         kept.append(text)
     return "\n".join(kept)

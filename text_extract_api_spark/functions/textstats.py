@@ -10,6 +10,8 @@ stick to replace/length/regexp with dialect-identical semantics.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import Column, functions as F
 
 WS_SPLIT = "[ \\t\\r\\n]+"
@@ -179,3 +181,35 @@ def length_quantiles(
         F.round(pct(0.99) + eps, 4).alias("p99_chars"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Every serious corpus pipeline NFC-normalizes before content hashing:
+    the same visible string arrives from the web in composed (U+00E9) and
+    decomposed (U+0065 U+0301) forms, and a byte-keyed exact dedup treats
+    them as distinct documents. NFC is THE canonical-equivalence composer
+    (Unicode TR15), implemented identically by Python's ``unicodedata``
+    and DuckDB's ``nfc_normalize`` — both track the same standard tables,
+    which is what makes the oracle exact.
+
+    Spark has no JVM-side normalizer builtin, so this is a designated
+    Arrow batch kernel (row-local, zero shuffles; the ICU-equivalent fast
+    path short-circuits pure-ASCII strings inside CPython, so the common
+    case is a pointer walk, not a table lookup)."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+        )
+
+    return _nfc(text)
+
+
+def normalized_fingerprint_col(text: Column) -> Column:
+    """md5 over the NFC-normalized text — the dedup key that collapses
+    canonically-equivalent encodings of the same content."""
+    return F.md5(nfc_normalize_col(text))

@@ -16,7 +16,11 @@ n=0
 while [ "$n" -lt "$MAX_SESSIONS" ]; do
   sleep "$POLL"
   load=$(cut -d' ' -f1 /proc/loadavg)
-  busy=$(pgrep -fc 'pytest|spark-submit|parity_check|bench\.py|SparkSubmit' || true)
+  # any live JVM = some Spark work is running (incl. ad-hoc driver scripts
+  # that no name pattern would catch) — do not launch into it
+  busy=$(pgrep -fc 'pytest|spark-submit|parity_check|bench\.py|SparkSubmit|plan_audit' || true)
+  jvms=$(pgrep -xc java || true)
+  busy=$((busy + jvms))
   ok=$(awk -v l="$load" -v t="$THRESH" 'BEGIN{print (l<t)?1:0}')
   if [ "$ok" = "1" ] && [ "${busy:-0}" = "0" ] && [ ! -e "$LOCK" ]; then
     touch "$LOCK"

@@ -258,6 +258,40 @@ def main() -> None:
     ]
     cons_median = med(conserving) if conserving else float("nan")
     cons_pass = sum(1 for e in conserving if e >= 0.8)
+    # Cross-method history: pooled per-method stats over the WHOLE log.
+    # The method key bumps on measurement/pipeline changes so pooled
+    # headline numbers never mix setups — but pairs from prior methods
+    # remain evidence about the PLAN's scaling whenever the change was
+    # measured work-neutral (the r3→r4 bump is the zstd shuffle codec:
+    # 2.37x fewer shuffled bytes at flat task CPU, tools/codec_ab.py),
+    # so the table below keeps them visible instead of silently resetting
+    # the sample to the newest epoch.
+    by_method: dict[str, dict[str, list]] = {}
+    with open(sessions_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("cores") != [n, n4] or rec.get("inflate") != infl:
+                continue
+            m = by_method.setdefault(
+                rec.get("method", "?"), {"eff": [], "wr": []}
+            )
+            m["eff"] += rec["pair_effs"]
+            m["wr"] += rec.get("work_ratios") or [None] * len(rec["pair_effs"])
+    hist_rows = []
+    for meth, d in by_method.items():
+        cons = [
+            e for e, w in zip(d["eff"], d["wr"]) if w is not None and w <= 1.10
+        ]
+        hist_rows.append(
+            f"| {meth} | {len(d['eff'])} | {med(d['eff']):.3f} | "
+            f"{sum(1 for e in d['eff'] if e >= 0.8)} | "
+            + (f"{med(cons):.3f} ({len(cons)} pairs)" if cons else "— (0 pairs)")
+            + " |"
+        )
+    history_table = (
+        "| method | pairs | median eff | ≥0.8 | work-conserving median |\n"
+        "|---|---|---|---|---|\n" + "\n".join(hist_rows)
+    )
     t_n, t_4n = results[n]["docs_per_sec"], results[n4]["docs_per_sec"]
     work_ratio = results[n4]["task_run_core_s"] / max(1, results[n]["task_run_core_s"])
     # Plan-level efficiency bound: if 4N burns cpu_ratio× the CPU of N for
@@ -301,6 +335,14 @@ normal case and this row is what the deployment would measure.
 Launch-gated subset (N run started at 1-min load < 1.0, pre-registered,
 mid-run contamination kept in): median {quiet_median:.3f},
 {quiet_pass} of {len(quiet)} ≥ 0.8 — gates launch-time weather only.
+
+**Cross-method history** (all recorded epochs of this experiment; the
+method key bumps on setup changes so pooled headlines never mix setups —
+the r3→r4 bump is the zstd shuffle codec, measured work-neutral by
+`tools/codec_ab.py`: 2.37× fewer shuffled bytes at flat task CPU, so
+earlier pairs remain evidence about the plan's scaling behavior):
+
+{history_table}
 
 **Selection rule**: the table below shows this session's MEDIAN pair by
 efficiency (not the best — max-of-noisy-samples is biased). All pair
