@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_incremental",
     "dedup_exact_normalized",
+    "tfidf_topk_terms",
     "url_canonicalize",
     "ann_quantized_topk",
     "ann_cosine_topk",

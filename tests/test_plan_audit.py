@@ -36,6 +36,13 @@ BOUNDS = {
     "url_canonicalize": (3, 0, 0, False),
     # 3 = input-split repartition + two agg levels; 1 arrow = the NFC kernel
     "dedup_exact_normalized": (3, 1, 0, False),
+    # 9 STATIC: (repart + tf agg) ×2 — the tf subtree appears under both
+    # the join's left side and df's input; AQE runtime-reuses the identical
+    # exchange so the explode runs once — + df agg + tf-by-term re-exchange
+    # for the SMJ (merge-hinted: df scales with the corpus vocabulary, a
+    # static broadcast would OOM at 100 TB) + n_frame repart + one-row agg
+    # (bytes ~0 after pruning) + doc_id window. 1 bcast = the one-row N.
+    "tfidf_topk_terms": (9, 0, 1, False),
     "quality_score": (1, 0, 0, False),
     "page_explode_concat": (2, 0, 0, False),
     "span_kind_stats": (5, 0, 0, True),

@@ -213,3 +213,77 @@ def normalized_fingerprint_col(text: Column) -> Column:
     """md5 over the NFC-normalized text — the dedup key that collapses
     canonically-equivalent encodings of the same content."""
     return F.md5(nfc_normalize_col(text))
+
+
+def tfidf_topk_terms(docs, k: int = 5):
+    """Per-document top-k terms by TF-IDF — the standard keyword-extraction
+    / document-signature op a training-data pipeline uses for topic
+    balancing and near-dup triage.
+
+    score = tf × ln((N+1)/(df+1)), smoothed so df=N terms score 0 instead
+    of degenerate ln(1) ties everywhere; rank is over the score ROUNDED to
+    6 decimals (ties broken by term) so the JVM and DuckDB rank the exact
+    same doubles — a raw-double ordering could flip on a 1-ulp ln()
+    disagreement between libm implementations.
+
+    Scale shape (the 100-TB audit):
+    - token explode feeds groupBy(doc_id, term): partial (map-side) combine
+      collapses in-doc repeats before the exchange — the shuffle carries
+      distinct (doc, term) pairs, not the token stream;
+    - df = groupBy(term) over the tf frame (distinct-pairs input, already
+      far smaller than the corpus);
+    - the tf⋈df enrich joins on term. The df side scales with the corpus
+      vocabulary (billions of terms on web text) so it is NOT statically
+      broadcast (pitfall: the static planner sizes it from the parquet
+      footprint); AQE downgrades to broadcast when genuinely small and
+      skew-splits the stopword keys — "the" matches ~every doc's tf row,
+      but it's a 1:1 enrich, so hot keys are partition imbalance, not row
+      explosion;
+    - N arrives as a broadcast one-row aggregate (no driver collect);
+    - top-k is a per-doc window: partition key = doc_id (high cardinality,
+      bounded rows per key — no skew path).
+    """
+    from pyspark.sql import Window
+
+    nonempty = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = nonempty.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), WS_SPLIT)).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    n_frame = nonempty.agg(F.count("*").cast("double").alias("n_docs"))
+    # merge hint: the static planner sizes df_counts from the parquet
+    # footprint and would BROADCAST it — but it scales with the corpus
+    # vocabulary (billions of terms on web text). SMJ is the safe shape;
+    # AQE downgrades to broadcast at runtime when genuinely small and
+    # skew-splits hot stopword partitions. AQE also runtime-reuses the
+    # duplicated tf subtree (identical exchange), so the token explode
+    # runs once despite appearing twice in the static plan.
+    scored = (
+        tf.join(df_counts.hint("merge"), "term")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1e-9),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
