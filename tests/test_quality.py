@@ -82,6 +82,43 @@ def test_decontaminate_empty_benchmark(spark):
     assert ngram_decontaminate(corpus, bench).count() == 0
 
 
+def test_decontaminate_joined_form_matches_broadcast(spark):
+    """The too-big-to-broadcast fallback (joined=True) returns EXACTLY the
+    broadcast form's rows — both on handcrafted overlaps and on the sf0.01
+    corpus probed against a slice of itself (real duplicate boilerplate,
+    repeated grams on both sides, empty/short docs)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _docs(
+        spark,
+        [
+            (1, "x y " + bench_text),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail words"),
+            # same bench run twice: hits stay DISTINCT-gram-counted
+            (4, bench_text + " filler " + bench_text),
+        ],
+    )
+    bench = _docs(spark, [(100, bench_text), (101, bench_text)])  # dup bench doc
+    a = {r.doc_id: r.n_hits for r in ngram_decontaminate(corpus, bench).collect()}
+    b = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate(corpus, bench, joined=True).collect()
+    }
+    assert a == b and a[1] == 3
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench2 = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    big_a = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate(docs, bench2).collect()
+    }
+    big_b = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate(docs, bench2, joined=True).collect()
+    }
+    assert big_a == big_b and len(big_a) > 0
+
+
 # ---------------------------------------------------------------- r3: token counting + paragraph dedup
 
 

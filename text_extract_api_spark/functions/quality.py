@@ -167,19 +167,48 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    joined: bool = False,
 ) -> DataFrame:
     """(doc_id, n_hits) for corpus docs sharing ≥1 word n-gram with the
     benchmark set; n_hits = number of DISTINCT shared n-grams.
 
-    Plan shape: the benchmark side collapses to ONE row holding its distinct
-    shingle set (eval suites are small by construction — 10^5–10^7 grams —
-    versus the 10^12-doc corpus), broadcast to every task; the corpus side
-    is a row-local shingle + ``array_intersect``, so the scan is the whole
-    cost and nothing shuffles. For a benchmark too big to broadcast as one
-    array, swap the broadcast row for a shuffle hash join on xxhash64(gram)
-    — the corpus side then explodes, which is why the broadcast form is the
-    default. Raw gram strings (not hashes) keep the DuckDB oracle exact.
-    """
+    Default plan shape (``joined=False``): the benchmark side collapses to
+    ONE row holding its distinct shingle set (eval suites are small by
+    construction — 10^5–10^7 grams — versus the 10^12-doc corpus),
+    broadcast to every task; the corpus side is a row-local shingle +
+    ``array_intersect``, so the scan is the whole cost and nothing
+    shuffles. Raw gram strings (not hashes) keep the DuckDB oracle exact.
+
+    ``joined=True`` is the too-big-to-broadcast fallback (a decontamination
+    set of aggregated PAST benchmarks can outgrow a broadcast array): the
+    corpus side explodes to (doc_id, gram), dedupes per doc with a
+    map-side-combined agg (the shuffle carries distinct pairs, not the
+    token stream), equi-joins the benchmark's distinct grams on the gram
+    string, and re-aggregates hits per doc. Benchmark grams are distinct —
+    the join is a semi-probe, never a row explosion; a boilerplate gram
+    shared by many corpus docs is partition imbalance on the corpus side,
+    which AQE's skew-split handles. Both forms return identical rows
+    (tests/test_quality.py asserts equality at sf0.01)."""
+    if joined:
+        corpus_grams = (
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(shingles_col(text_col, n)).alias("s"),
+            )
+            .groupBy("doc_id", "s")
+            .agg(F.lit(1).alias("_one"))
+        )
+        # no .distinct() on the probe side: left_semi is existence-based —
+        # duplicate benchmark grams can't duplicate corpus rows, and the
+        # distinct would cost an extra benchmark-wide shuffle
+        bench_grams = benchmark.select(
+            F.explode(shingles_col(text_col, n)).alias("s")
+        )
+        return (
+            corpus_grams.join(bench_grams, "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_hits"))
+        )
     bench_sh = (
         benchmark.select(F.explode(shingles_col(text_col, n)).alias("s"))
         .distinct()
