@@ -102,8 +102,23 @@ def parse_eventlog(evl_dir: str) -> dict:
     }
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+    Steal is the ONLY in-guest signal of host-neighbor contention: this
+    box's 32 vCPUs are host-shared, and other guests' load is invisible
+    to in-guest loadavg — a pair can launch at loadavg 0.05 and still run
+    on contended physical cores. The per-leg steal delta measures that
+    directly instead of inferring it from task-CPU inflation."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
     ambient = os.getloadavg()[0]  # neighbor load when this run starts
+    steal0, total0 = _cpu_jiffies()
     out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     evl = tempfile.mkdtemp(prefix=f"evl_{cores}_")
     env = dict(os.environ)
@@ -139,6 +154,11 @@ def run_once(sf_dir: str, cores: int, multiplier: int, inflate: int) -> dict:
         r = json.loads(last)
         r.update(parse_eventlog(evl))
         r["ambient_load"] = round(ambient, 2)
+        steal1, total1 = _cpu_jiffies()
+        # fraction of ALL box CPU time stolen by the host during this leg
+        r["steal_pct"] = round(
+            100.0 * (steal1 - steal0) / max(1, total1 - total0), 3
+        )
         return r
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -211,6 +231,12 @@ def main() -> None:
                     p[2]["task_run_core_s"] / max(1, p[1]["task_run_core_s"]), 3
                 )
                 for p in pairs
+            ],
+            # host-neighbor contention measured DIRECTLY per leg: % of all
+            # box CPU the hypervisor stole during (N run, 4N run). In-guest
+            # loadavg cannot see other guests; steal can.
+            "steal_pct": [
+                [p[1].get("steal_pct"), p[2].get("steal_pct")] for p in pairs
             ],
         }) + "\n")
     pool_eff, pool_tn, pool_t4n, pool_amb_n, pool_wr = [], [], [], [], []
