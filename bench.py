@@ -38,6 +38,8 @@ HEADLINE = [
     "neardup_clusters",
     "dedup_simhash",
     "quality_repetition",
+    "quality_gopher_rules",
+    "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",
     "chunk_windows",

@@ -33,6 +33,8 @@ EDGE_SENSITIVE = [
     "pipeline_extract_flat",
     "chunk_windows",
     "quality_repetition",
+    "quality_gopher_rules",
+    "dedup_intradoc",
 ]
 
 

@@ -44,6 +44,13 @@ BOUNDS = {
     # (bytes ~0 after pruning) + doc_id window. 1 bcast = the one-row N.
     "tfidf_topk_terms": (9, 0, 1, False),
     "quality_score": (1, 0, 0, False),
+    # 1 = the input-split repartition; the rules themselves are row-local
+    "quality_gopher_rules": (1, 0, 0, False),
+    # all 5 shuffles belong to the synth scaffolding that BUILDS the
+    # interleaved table locally (explode + doc regroup + dup-redirect
+    # join); the operator itself is the trailing Arrow stage — zero
+    # shuffles of its own (production reads the Iceberg table directly)
+    "dedup_intradoc": (5, 1, 0, False),
     "page_explode_concat": (2, 0, 0, False),
     "span_kind_stats": (5, 0, 0, True),
     "events_asof_purchase": (2, 0, 1, True),

@@ -250,3 +250,119 @@ def test_paragraph_dedup_within_doc_repeat_also_dropped(spark):
     # occurrence counting is corpus-wide incl. within-doc repeats (they are
     # repetition junk too)
     assert out[1].n_kept == 1
+
+
+# ---------------------------------------------------------------- gopher rules
+
+
+def _gopher(spark, text):
+    from text_extract_api_spark.functions.quality import gopher_rules
+
+    [r] = gopher_rules(_docs(spark, [(1, text)])).collect()
+    return r
+
+
+def test_gopher_keep_and_signal_values(spark):
+    # 60 words, mean len in [3,10], all alpha, stopwords {the,a,and,it,is,
+    # to,in} >= 2, no bullet/ellipsis lines -> keep
+    t = " ".join(
+        ["the quick brown fox jumps over a lazy dog and it is here to stay"] * 4
+    )
+    r = _gopher(spark, t)
+    assert r.gopher_reason == "keep" and r.gopher_flagged is False
+    assert r.n_words == 60 and r.alpha_frac == 1.0 and r.n_stopwords >= 2
+
+
+def test_gopher_word_count_bounds(spark):
+    assert _gopher(spark, "short doc").gopher_reason == "word_count"
+    assert _gopher(spark, "").gopher_reason == "word_count"
+    assert _gopher(spark, "   ").n_words == 0
+
+
+def test_gopher_word_length(spark):
+    # 60 words of 15 chars: word count passes, mean length 15 > 10
+    r = _gopher(spark, " ".join(["extraordinarily"] * 60))
+    assert r.gopher_reason == "word_length" and r.mean_word_len == 15.0
+
+
+def test_gopher_bullet_lines_incl_multibyte(spark):
+    # 10 bullet lines (ASCII '- ' and U+2022 '•'), 70 words, mean len ok
+    lines = ["- the quick brown fox and dog runs"] * 8 + [
+        "• the quick brown fox and dog runs",
+        "* the quick brown fox and dog runs",
+    ]
+    r = _gopher(spark, "\n".join(lines))
+    assert r.bullet_frac == 1.0 and r.gopher_reason == "bullet_lines"
+
+
+def test_gopher_ellipsis_lines_incl_multibyte(spark):
+    lines = ["the quick brown fox jumps here..."] * 6 + [
+        "the quick brown fox jumps here…"
+    ] * 4
+    r = _gopher(spark, "\n".join(lines))
+    assert r.ellipsis_frac == 1.0 and r.gopher_reason == "ellipsis_lines"
+
+
+def test_gopher_non_alpha_and_few_stopwords(spark):
+    # 60 numeric words: alpha_frac 0 < 0.8 (word count/length pass first)
+    assert _gopher(spark, " ".join(["12345"] * 60)).gopher_reason == "non_alpha"
+    # 60 alpha words, <2 distinct stopwords present
+    assert (
+        _gopher(spark, " ".join(["cat dog fish bird"] * 15)).gopher_reason
+        == "few_stopwords"
+    )
+
+
+# ------------------------------------------------------- intra-doc segment dedup
+
+
+_SPANS_DDL = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def test_intradoc_dedup_collapses_repeats_keeps_first(spark):
+    import hashlib
+
+    from text_extract_api_spark.functions.dedup import intradoc_segment_dedup
+
+    rows = [
+        ("a", [("text", "X" * 120, "", 0), ("text", "X" * 120, "", 1),
+               ("text", "Y" * 60, "", 2)]),
+        ("b", [("pdf", "", "pdf://b/0", 0)]),  # empty doc text still emits
+        ("c", [("text", "z" * 300, "", 1), ("text", "w" * 60, "", 0)]),
+    ]
+    got = {
+        r.doc_id: r
+        for r in intradoc_segment_dedup(
+            spark.createDataFrame(rows, _SPANS_DDL)
+        ).collect()
+    }
+    a = got["a"]
+    assert (a.n_segs, a.n_kept, a.dedup_ratio) == (3, 2, 0.6667)
+    assert a.clean_fp == hashlib.md5(("X" * 120 + "Y" * 60).encode()).hexdigest()
+    b = got["b"]
+    assert (b.n_segs, b.n_kept, b.dedup_ratio) == (0, 0, 1.0)
+    assert b.clean_fp == hashlib.md5(b"").hexdigest()
+    # spans sort by offset BEFORE concat: doc_text = w*60 + z*300 → segs
+    # [w60+z60, z120, z120] → kept 2
+    c = got["c"]
+    assert (c.n_segs, c.n_kept) == (3, 2)
+    assert c.clean_fp == hashlib.md5(
+        ("w" * 60 + "z" * 60 + "z" * 120).encode()
+    ).hexdigest()
+
+
+def test_intradoc_dedup_oversize_docs_collapse(spark, sf_dir):
+    """The synth corpus's oversize docs (eff_id % 97 == 0: one chunk
+    repeated 50×) must compress hard; ordinary docs must not."""
+    from text_extract_api_spark.functions.dedup import intradoc_segment_dedup
+    from text_extract_api_spark.synth import synthesize_interleaved
+
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    out = intradoc_segment_dedup(docs)
+    squeezed = {r.doc_id for r in out.filter("n_segs - n_kept >= 40").collect()}
+    assert "0" in squeezed  # doc 0 is oversize at every sf
+    total = out.count()
+    assert out.filter("n_kept = n_segs").count() > total * 0.8

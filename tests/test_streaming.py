@@ -250,3 +250,28 @@ def test_windowed_dedup_horizon_eviction(spark, tmp_path):
         .collect()
     }
     assert sorted(per.values()) == [1, 1, 2]  # P twice (horizons), Q, R once
+
+
+def test_windowed_counts_watermark_boundary(spark, tmp_path):
+    """Pin the append-mode emission predicate the oracle encodes: the final
+    watermark is max(ts) − delay and a window is emitted iff
+    window_end <= watermark — INCLUSIVE at the exact boundary (max ts
+    01:30, delay 30 min → watermark 01:00 → window [00:00,01:00) emits;
+    [01:00,02:00) is withheld as still-open)."""
+    import datetime as dt
+
+    from __spark_entry__ import _EVENTS_DDL, q_streaming_windowed_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 30), 1, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, _EVENTS_DDL).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    got = sorted(
+        (str(r.window_start), r.event_type, r.n_events)
+        for r in q_streaming_windowed_counts(spark, d).collect()
+    )
+    assert got == [("2024-01-01 00:00:00", "click", 1)]

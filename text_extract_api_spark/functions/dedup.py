@@ -577,3 +577,101 @@ def incremental_near_dup_flags(
     # the band frame feeds two join legs — scope-materialize like
     # minhash_near_dups so the Arrow signature stage runs once, not twice
     return _scoped_materialize(batch_base, _flags)
+
+
+def intradoc_segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    seg_chars: int = 120,
+) -> DataFrame:
+    """Within-document repeated-segment removal over the interleaved span
+    table (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+
+    The document's text stream is its span texts concatenated in offset
+    order; that stream is cut into fixed ``seg_chars``-character segments
+    and exact repeats are dropped keeping the FIRST occurrence — the
+    standard intra-document dedup pass that collapses boilerplate repeated
+    inside one document (headers re-inserted per page, OCR page echo; in
+    the synth corpus, the oversize docs' 50× repeated chunk collapses
+    50 segments → 1). Complements the cross-document passes: ``exact_dedup``
+    / ``minhash_near_dups`` compare documents to each other, this one never
+    looks outside the row.
+
+    Returns one row per input document — INCLUDING documents whose
+    concatenated text is empty (n_segs=0, n_kept=0, clean_fp=md5('')), per
+    the ``paragraph_dedup`` every-doc-survives lesson:
+    (doc_id, n_segs, n_kept, dedup_ratio, clean_fp).
+
+    Scale design: entirely row-local, ZERO shuffles — output inherits the
+    input partitioning, so at 100 TB the cost is the scan. Doc-text
+    assembly (comparator sort + concat of a ≤MAX_SPANS struct array) is one
+    JVM projection; segmentation + keep-first + md5 run in an Arrow
+    ``mapInPandas``: a ``transform(sequence(..), i -> substring(doc_text,..))``
+    form would re-materialize the computed doc-text scalar once per element
+    (the no-CSE-inside-lambda trap) and HOF lambda bodies execute
+    interpreted (the chunker measured that family 6× slower at sf0.1).
+    md5-of-utf8 and character-positioned slicing match DuckDB's md5 /
+    substring exactly, keeping the oracle bit-equal.
+    """
+    from collections.abc import Iterator
+    import hashlib
+
+    import pandas as pd
+
+    doc_text = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.col(spans_col), lambda a, b: a["offset"] - b["offset"]
+            ),
+            lambda s: s["text"],
+        ),
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_type}, n_segs int, n_kept int, clean_fp string"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nk, fps = [], [], [], []
+            for did, txt in zip(pdf["doc_id"].values, pdf["doc_text"].values):
+                t = txt if txt is not None else ""
+                segs = [t[i : i + seg_chars] for i in range(0, len(t), seg_chars)]
+                seen: set[str] = set()
+                kept: list[str] = []
+                for s in segs:
+                    if s not in seen:
+                        seen.add(s)
+                        kept.append(s)
+                ids.append(did)
+                ns.append(len(segs))
+                nk.append(len(kept))
+                fps.append(hashlib.md5("".join(kept).encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_segs": pd.array(ns, dtype="int32"),
+                    "n_kept": pd.array(nk, dtype="int32"),
+                    "clean_fp": fps,
+                }
+            )
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), doc_text.alias("doc_text"))
+        .mapInPandas(op, schema)
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_kept",
+            F.when(
+                F.col("n_segs") > 0,
+                F.round(
+                    F.col("n_kept").cast("double") / F.col("n_segs").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("dedup_ratio"),
+            "clean_fp",
+        )
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import shingles_col
-from .textstats import WS_SPLIT, token_count_col
+from .textstats import STOPWORDS_EN, WS_SPLIT, token_count_col
 
 # Gopher §A1.1-style cut-offs (documents exceeding any are flagged).
 DUP_LINE_FRAC_MAX = 0.30
@@ -33,6 +33,28 @@ TOP_BIGRAM_FRAC_MAX = 0.20
 SYMBOL_RATIO_MAX = 0.10
 
 LINE_SPLIT = "\\r?\\n"
+
+# Gopher §A1.1 document-level rule cut-offs (Rae et al. 2021, Table A1):
+# canonical values — a document failing ANY rule is flagged, labelled with
+# the FIRST failing rule (fixed precedence, so the reason column is
+# deterministic and oracle-checkable).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_BULLET_FRAC_MAX = 0.90
+GOPHER_ELLIPSIS_FRAC_MAX = 0.30
+GOPHER_ALPHA_FRAC_MIN = 0.80
+GOPHER_MIN_STOPWORDS = 2
+# required-stopword presence rule (distinct-presence count, not occurrence
+# count). Rule form is Gopher's ("must contain ≥2 of a small stopword
+# list"); the list itself is the engine's shared STOPWORDS_EN rather than
+# the paper's 8 words, so one stopword vocabulary governs every operator
+# (quality_score, this rule) — swapping the literal list is a one-line
+# config change at deploy time.
+GOPHER_STOPWORDS = list(STOPWORDS_EN)
+BULLET_PREFIXES = ["- ", "* ", "•"]
+ELLIPSIS_SUFFIXES = ["...", "…"]
 
 
 def _bigrams_col(text_col: str) -> Column:
@@ -158,6 +180,131 @@ def repetition_signals(
         sig["top_bigram_frac"].alias("top_bigram_frac"),
         sig["symbol_ratio"].alias("symbol_ratio"),
         rep_flagged_col(sig).alias("rep_flagged"),
+    )
+
+
+def gopher_cols(text_col: str) -> dict[str, Column]:
+    """The six Gopher §A1.1 document statistics as row-local Columns.
+
+    Everything stays inside whole-stage codegen except three per-token /
+    per-line lambda predicates (``rlike``, prefix/suffix tests) — trivial
+    single-regex/substring work per element, far below the Arrow-swap
+    threshold measured for the chunker (SNIPPET: per-element work there was
+    width×overlap string assembly). The expensive aggregate — total word
+    length — is deliberately NOT a fold: it is
+    ``length(regexp_replace(trim(text), WS, ''))`` (sum of word lengths ==
+    chars left after deleting every whitespace run), one codegen regex per
+    row instead of an interpreted per-element lambda.
+
+    All ratios are round(_, 4) doubles and every RULE compares the rounded
+    value, so the DuckDB oracle decides identically on boundary values.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, WS_SPLIT)
+    n_words = token_count_col(F.col(text_col))
+    sum_wlen = F.length(F.regexp_replace(t, WS_SPLIT, ""))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.round(sum_wlen.cast("double") / n_words.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(n_alpha.cast("double") / n_words.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+    # distinct-presence stopword count: array_intersect dedupes, so a doc
+    # repeating only "the" counts 1
+    n_stop = F.size(
+        F.array_intersect(
+            F.split(F.lower(t), WS_SPLIT),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), LINE_SPLIT), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+
+    def _frac(pred) -> Column:
+        return F.when(
+            n_lines > 0,
+            F.round(
+                F.size(F.filter(lines, pred)).cast("double")
+                / n_lines.cast("double"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    def _any_prefix(x: Column) -> Column:
+        out = F.lit(False)
+        for p in BULLET_PREFIXES:
+            out = out | x.startswith(p)
+        return out
+
+    def _any_suffix(x: Column) -> Column:
+        out = F.lit(False)
+        for s in ELLIPSIS_SUFFIXES:
+            out = out | x.endswith(s)
+        return out
+
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": mean_wlen,
+        "alpha_frac": alpha_frac,
+        "n_stopwords": F.when(n_words > 0, n_stop).otherwise(F.lit(0)).cast("int"),
+        "bullet_frac": _frac(_any_prefix),
+        "ellipsis_frac": _frac(_any_suffix),
+    }
+
+
+def gopher_reason_col(g: dict[str, Column]) -> Column:
+    """First failing Gopher rule (fixed precedence) or 'keep'."""
+    return (
+        F.when(
+            (g["n_words"] < GOPHER_MIN_WORDS) | (g["n_words"] > GOPHER_MAX_WORDS),
+            F.lit("word_count"),
+        )
+        .when(
+            (g["mean_word_len"] < GOPHER_MIN_MEAN_WLEN)
+            | (g["mean_word_len"] > GOPHER_MAX_MEAN_WLEN),
+            F.lit("word_length"),
+        )
+        .when(g["bullet_frac"] > GOPHER_BULLET_FRAC_MAX, F.lit("bullet_lines"))
+        .when(g["ellipsis_frac"] > GOPHER_ELLIPSIS_FRAC_MAX, F.lit("ellipsis_lines"))
+        .when(g["alpha_frac"] < GOPHER_ALPHA_FRAC_MIN, F.lit("non_alpha"))
+        .when(g["n_stopwords"] < GOPHER_MIN_STOPWORDS, F.lit("few_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher §A1.1 document-level quality rules (Rae et al. 2021): word
+    count bounds, mean word length bounds, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required-stopword presence. Complements
+    ``repetition_signals`` (the §A1.1 repetition half lives there).
+
+    Returns (doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+    bullet_frac, ellipsis_frac, gopher_reason, gopher_flagged).
+
+    Scale design: entirely row-local Column expressions — zero shuffles; at
+    100 TB the only cost is the scan (reads exactly two columns after
+    pruning).
+    """
+    g = gopher_cols(text_col)
+    reason = gopher_reason_col(g)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["alpha_frac"].alias("alpha_frac"),
+        g["n_stopwords"].alias("n_stopwords"),
+        g["bullet_frac"].alias("bullet_frac"),
+        g["ellipsis_frac"].alias("ellipsis_frac"),
+        reason.alias("gopher_reason"),
+        (reason != "keep").alias("gopher_flagged"),
     )
 
 

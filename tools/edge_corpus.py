@@ -9,7 +9,13 @@ other table byte-identical. `n_chars` is recomputed so the synth pipelines
 stay consistent. Used by tests/test_edge_parity.py and runnable standalone:
 
     python tools/edge_corpus.py /tmp/edge_sf
-    python tools/parity_check.py /tmp/edge_sf        # full 69-query sweep
+    python tools/parity_check.py /tmp/edge_sf        # full registered-query sweep
+
+Cases 9-12 exercise the Gopher-rule branches (bullet lines, ellipsis
+lines, non-alpha words, >10-char mean word length) — ASCII forms only;
+the multibyte bullet '•' / ellipsis '…' variants are pinned by
+tests/test_quality.py instead (the media synth oracle's byte_len ==
+char_len assumption keeps this corpus pure-ASCII).
 
 Scope notes (documented assumptions, verified r3):
 - text is NOT NULL here: the engine's documented input contract normalizes
@@ -50,6 +56,10 @@ _EDGE_TEXT = """
       WHEN 6 THEN 'word'
       WHEN 7 THEN chr(10) || ' padded  text ' || chr(9)
       WHEN 8 THEN chr(11) || ' vertical tab ' || chr(12) || ' edges ' || chr(11)
+      WHEN 9 THEN '- first' || chr(10) || '- second' || chr(10) || '* third' || chr(10) || '- fourth'
+      WHEN 10 THEN 'trailing thought...' || chr(10) || 'another one...' || chr(10) || 'plain line'
+      WHEN 11 THEN '123 456 789 000 111 ??? !!! ###'
+      WHEN 12 THEN 'supercalifragilisticexpialidocious pneumonoultramicroscopicsilicovolcanoconiosis floccinaucinihilipilification'
       ELSE text END
 """.strip()
 
