@@ -820,6 +820,64 @@ FROM labeled
 """.strip()
 
 
+def _c4_sql() -> str:
+    """C4 §2.2 cleaning rules (quality.c4_rules twin). Sentence count is a
+    pure string-length identity (runs of [.!?] collapsed vs deleted) so
+    both engines agree bit-for-bit; the reason CASE mirrors the Spark
+    precedence chain."""
+    terminal_pred = " OR ".join(
+        f"ends_with(x, '{p}')" if p != '"' else "ends_with(x, '\"')"
+        for p in quality.C4_TERMINAL_PUNCT
+    )
+    bad_pred = " OR ".join(
+        f"contains(low, '{s}')" for s in quality.C4_BAD_SUBSTRINGS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS low,
+         list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, low, lines,
+         list_filter(lines, x -> ({terminal_pred})
+                       AND len(regexp_split_to_array(x, '[ \\t\\r\\n]+'))
+                           >= {quality.C4_MIN_LINE_WORDS}
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM base
+),
+s AS (
+  SELECT doc_id, text, low,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(len(kept) AS INT) AS n_kept_lines,
+         -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+         COALESCE(array_to_string(kept, chr(10)), '') AS kept_text
+  FROM k
+),
+sig AS (
+  SELECT doc_id, text, low, n_lines, n_kept_lines, kept_text,
+         CAST(length(regexp_replace(kept_text, '[.!?]+', '.', 'g'))
+              - length(regexp_replace(kept_text, '[.!?]+', '', 'g'))
+              AS INT) AS n_sentences
+  FROM s
+),
+labeled AS (
+  SELECT *,
+         CASE WHEN {bad_pred} THEN 'lorem_ipsum'
+              WHEN contains(text, '{{') THEN 'curly_brace'
+              WHEN n_sentences < {quality.C4_MIN_SENTENCES}
+                THEN 'too_few_sentences'
+              ELSE 'keep' END AS c4_reason
+  FROM sig
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, c4_reason,
+       c4_reason <> 'keep' AS c4_flagged, md5(kept_text) AS clean_fp
+FROM labeled
+""".strip()
+
+
 def _intradoc_sql(seg_chars: int = 120) -> str:
     """Within-doc repeated-segment dedup (dedup.intradoc_segment_dedup
     twin): doc text = span texts in offset order, cut into seg_chars
@@ -1867,6 +1925,15 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 cleaning (Raffel et al. 2020): line-level retention
+    (terminal punctuation, >=5 words, no 'javascript') + document-level
+    drops (lorem ipsum / curly brace / <3 surviving sentences) — the only
+    pass that edits INSIDE documents line-by-line. Row-local, zero
+    shuffles."""
+    return quality.c4_rules(_docs(spark, sf_dir))
+
+
 def q_dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-segment removal over the interleaved span
     table (the oversize docs' 50×-repeated chunk collapses to one segment).
@@ -2661,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
+        "quality_c4_rules": q_quality_c4_rules,
         "quality_gopher_rules": q_quality_gopher_rules,
         "dedup_intradoc": q_dedup_intradoc,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -2697,7 +2765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "length_quantiles": q_length_quantiles,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
-        "token_count_bpe": q_token_count_bpe,
         "dedup_paragraphs": q_dedup_paragraphs,
         "chunk_windows": q_chunk_windows,
         "pack_sequences": q_pack_sequences,
@@ -2714,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # --- 51+: long-stable (green r2 AND r3, code unchanged) ------------
+        "token_count_bpe": q_token_count_bpe,
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
         "quality_score": q_quality_score,
@@ -2905,6 +2973,7 @@ FROM events
 GROUP BY 1, 2
 HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """.strip(),
+        "quality_c4_rules": _c4_sql(),
         "quality_gopher_rules": _gopher_sql(),
         "dedup_intradoc": f"WITH {SYNTH_CTE},\n" + _intradoc_sql(),
         "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"

@@ -366,3 +366,62 @@ def test_intradoc_dedup_oversize_docs_collapse(spark, sf_dir):
     assert "0" in squeezed  # doc 0 is oversize at every sf
     total = out.count()
     assert out.filter("n_kept = n_segs").count() > total * 0.8
+
+
+# --- C4 §2.2 cleaning rules ------------------------------------------------
+
+
+def _c4(spark, rows):
+    from text_extract_api_spark.functions.quality import c4_rules
+
+    return {r.doc_id: r for r in c4_rules(_docs(spark, rows)).collect()}
+
+
+def test_c4_line_retention_and_keep(spark):
+    txt = (
+        "This is a perfectly fine first sentence.\n"
+        "short line.\n"                       # < 5 words -> dropped
+        "no terminal punctuation on this line\n"  # no terminal punct -> dropped
+        "Please enable JavaScript to view comments.\n"  # javascript -> dropped
+        "Here is another good sentence to keep!\n"
+        "And a third good closing sentence right here?\n"
+    )
+    r = _c4(spark, [(1, txt)])[1]
+    assert r.n_lines == 6
+    assert r.n_kept_lines == 3
+    assert r.n_sentences == 3
+    assert r.c4_reason == "keep" and r.c4_flagged is False
+
+
+def test_c4_doc_level_drops_and_precedence(spark):
+    good = (
+        "One good retained sentence stands right here.\n"
+        "Two good retained sentences stand right here.\n"
+        "Three good retained sentences stand right here.\n"
+    )
+    rows = [
+        (1, good + "We sprinkle Lorem Ipsum in the { page."),  # lorem wins
+        (2, good + "code { block }"),
+        (3, "Only two kept sentences live here today.\nAnd the second one is also here now.\n"),
+        (4, ""),
+    ]
+    out = _c4(spark, rows)
+    assert out[1].c4_reason == "lorem_ipsum"      # precedence over curly_brace
+    assert out[2].c4_reason == "curly_brace"
+    assert out[3].c4_reason == "too_few_sentences"
+    assert out[4].c4_reason == "too_few_sentences"
+    assert out[4].n_lines == 0 and out[4].n_kept_lines == 0
+    # md5('') — empty doc fingerprint is stable, not NULL
+    assert out[4].clean_fp == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_c4_sentence_runs_count_once(spark):
+    # "?!" terminal run counts as ONE sentence boundary
+    txt = (
+        "Is this really the end of the line?!\n"
+        "A second retained sentence comes right after.\n"
+        "A third retained sentence closes the document.\n"
+    )
+    r = _c4(spark, [(1, txt)])[1]
+    assert r.n_sentences == 3
+    assert r.c4_reason == "keep"

@@ -113,7 +113,7 @@ def repetition_cols(text_col: str) -> dict[str, Column]:
     All ratios are round(_, 4) doubles so the DuckDB oracle is bit-equal.
     """
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), LINE_SPLIT), F.trim),
+        F.transform(F.split(F.col(text_col), LINE_SPLIT), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
     n_lines = F.size(lines)
@@ -221,7 +221,7 @@ def gopher_cols(text_col: str) -> dict[str, Column]:
         )
     )
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), LINE_SPLIT), F.trim),
+        F.transform(F.split(F.col(text_col), LINE_SPLIT), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
     n_lines = F.size(lines)
@@ -371,4 +371,84 @@ def ngram_decontaminate(
             F.size(F.array_intersect("sh", "bench_sh")).alias("n_hits"),
         )
         .filter(F.col("n_hits") > 0)
+    )
+
+
+# C4 §2.2 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer"): line-level
+# retention + document-level drops. Constants are the paper's published
+# values. Terminal punctuation = period / exclamation / question mark /
+# end quotation mark (straight or curly).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_PUNCT = [".", "!", "?", '"', "”"]
+C4_BAD_SUBSTRINGS = ["lorem ipsum"]  # doc-level drop, case-insensitive
+
+
+def c4_line_keep_pred(x: Column) -> Column:
+    """Line-retention predicate on a TRIMMED line: ends in terminal
+    punctuation, has >= C4_MIN_LINE_WORDS whitespace words, and does not
+    mention javascript (case-insensitive) — C4 §2.2 rules 1-3."""
+    terminal = F.lit(False)
+    for p in C4_TERMINAL_PUNCT:
+        terminal = terminal | x.endswith(p)
+    n_words = F.size(F.split(x, WS_SPLIT))
+    return (
+        terminal
+        & (n_words >= C4_MIN_LINE_WORDS)
+        & ~F.lower(x).contains("javascript")
+    )
+
+
+def c4_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 §2.2 cleaning over the corpus: per-line retention (terminal
+    punctuation, >=5 words, no 'javascript'), then document-level drops —
+    'lorem ipsum' anywhere, a curly brace anywhere (code page), or fewer
+    than 3 sentences surviving line filtering. A sentence is counted as a
+    RUN of terminal chars [.!?] in the kept text ("Done?!" = 1), computed
+    as length(runs collapsed to '.') - length(runs deleted) — a pure
+    string-length identity both engines evaluate bit-identically.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, c4_reason,
+    c4_flagged, clean_fp) — clean_fp = md5 of the kept lines joined with
+    '\\n', the handle a downstream exact-dedup pass consumes, so C4
+    cleaning composes with dedup_exact_payload without re-reading text.
+
+    Reason precedence is fixed (lorem_ipsum → curly_brace →
+    too_few_sentences → keep) so the label is deterministic and
+    oracle-checkable. Scale design: entirely row-local Column expressions
+    over one scan — zero shuffles, prunes to two columns; the 100-TB cost
+    is the scan itself. Complements gopher_rules (document statistics) and
+    paragraph_dedup (corpus-wide boilerplate): C4 is the only pass that
+    edits INSIDE the document line-by-line.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), LINE_SPLIT), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    kept = F.filter(lines, c4_line_keep_pred)
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.length(
+        F.regexp_replace(kept_text, "[.!?]+", ".")
+    ) - F.length(F.regexp_replace(kept_text, "[.!?]+", ""))
+    low = F.lower(F.col(text_col))
+    bad = F.lit(False)
+    for s in C4_BAD_SUBSTRINGS:
+        bad = bad | low.contains(s)
+    reason = (
+        F.when(bad, F.lit("lorem_ipsum"))
+        .when(F.col(text_col).contains("{"), F.lit("curly_brace"))
+        .when(n_sent < C4_MIN_SENTENCES, F.lit("too_few_sentences"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.cast("int").alias("n_sentences"),
+        reason.alias("c4_reason"),
+        (reason != "keep").alias("c4_flagged"),
+        F.md5(kept_text).alias("clean_fp"),
     )
