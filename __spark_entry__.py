@@ -396,6 +396,90 @@ WHERE {cos} >= {EMB_NEARDUP_T}
 """.strip()
 
 
+def _semdedup_sql() -> str:
+    """SemDeDup oracle (clustering.kmeans_assign/semdedup twin): the
+    KMEANS_ITERS Lloyd rounds unrolled as CTE layers. Distances are the
+    same left-to-right double folds both engines compute bit-identically
+    (round-9 guards residual merge-order noise); centroid means are
+    round(avg, 6) — the single summation-order-sensitive spot, identical
+    rounding on both sides; cosine reuses the engine-wide unrolled-chain /
+    round-4 contract (_vec_dot_sql)."""
+    from text_extract_api_spark.functions.clustering import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        SEMDEDUP_COS,
+    )
+
+    sq = (
+        "round(list_sum(list_transform(list_zip(e.v, c.cv), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))), 9)"
+    )
+    cos = (
+        f"round(({_vec_dot_sql('ex.v', 'ey.v')}) / "
+        f"(sqrt({_vec_dot_sql('ex.v', 'ex.v')}) * "
+        f"sqrt({_vec_dot_sql('ey.v', 'ey.v')})), 4)"
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{it} AS (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[t.i]), 6) AS m
+  FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {EMB_DIMS + 1}) t(i)
+  GROUP BY a.cid, t.i
+),
+c{it} AS (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM u{it} GROUP BY cid
+  ) n USING (cid)
+)"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""",
+fin AS (
+  SELECT vec_id, cid AS cluster, round(d, 6) AS dist_r FROM (
+    SELECT e.vec_id, c.cid, {sq} AS d,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE ({_vec_dot_sql('ex.v', 'ex.v')}) > 0
+    AND ({_vec_dot_sql('ey.v', 'ey.v')}) > 0
+    AND {cos} >= {SEMDEDUP_COS}
+)
+SELECT f.vec_id, f.cluster, f.dist_r,
+       f.vec_id IN (SELECT vec_id FROM dup) AS sem_dup
+FROM fin f"""
+    )
+    return "".join(parts).strip()
+
+
 def _ann_ivf_sql() -> str:
     cos_ec = (
         f"round(({_vec_dot_sql('e.embedding', 'c.embedding')}) / "
@@ -2212,6 +2296,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic-seed Lloyd k-means over
+    the embedding table, then cosine near-dup flags WITHIN each cluster —
+    the per-cluster quadratic that replaces the corpus-quadratic dedup.
+    Distributed Lloyd: row-local assignment against broadcast centroid
+    literals + partial-aggregated per-dim means; only k×dim values ever
+    reach the driver per round."""
+    from text_extract_api_spark.functions.clustering import semdedup
+
+    return semdedup(_emb(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over the prebuilt cell-partitioned store (assignment computed
     once at build time; the r1 design re-assigned the corpus per query).
@@ -2729,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
         "quality_c4_rules": q_quality_c4_rules,
+        "semdedup_kmeans": q_semdedup_kmeans,
         "quality_gopher_rules": q_quality_gopher_rules,
         "dedup_intradoc": q_dedup_intradoc,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -2974,6 +3071,7 @@ GROUP BY 1, 2
 HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """.strip(),
         "quality_c4_rules": _c4_sql(),
+        "semdedup_kmeans": _semdedup_sql(),
         "quality_gopher_rules": _gopher_sql(),
         "dedup_intradoc": f"WITH {SYNTH_CTE},\n" + _intradoc_sql(),
         "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"

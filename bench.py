@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_simhash",
     "quality_repetition",
     "quality_gopher_rules",
+    "quality_c4_rules",
+    "semdedup_kmeans",
     "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",

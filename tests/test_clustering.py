@@ -116,3 +116,83 @@ def test_neardup_clusters_canonical_flags(spark):
     # "drop the dups" contract: anti-join corpus against non-canonical rows
     keep = {d for d, (_, canon) in got.items() if canon}
     assert keep == {1, 8}
+
+
+# --- k-means / SemDeDup ------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    from text_extract_api_spark.functions.clustering import kmeans_assign
+
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]]
+    blob_b = [[5.0, 5.0], [5.1, 5.0], [5.0, 5.1], [5.1, 5.1]]
+    out = kmeans_assign(_emb_df(spark, blob_a + blob_b), k=2, iters=2).collect()
+    by_id = {r.vec_id: r.cluster for r in out}
+    assert len({by_id[i] for i in range(4)}) == 1
+    assert len({by_id[i] for i in range(4, 8)}) == 1
+    assert by_id[0] != by_id[4]
+    # seed 0 is vec 0 -> blob A keeps cluster 0, blob B lands in cluster 1
+    assert by_id[0] == 0 and by_id[4] == 1
+
+
+def test_kmeans_deterministic_across_runs_and_partitionings(spark):
+    from text_extract_api_spark.functions.clustering import kmeans_assign
+
+    vecs = [[(i * 37 % 11) / 10.0, (i * 53 % 13) / 10.0, (i * 71 % 7) / 10.0]
+            for i in range(40)]
+    a = {r.vec_id: (r.cluster, r.dist_r)
+         for r in kmeans_assign(_emb_df(spark, vecs), k=4, iters=2).collect()}
+    b = {r.vec_id: (r.cluster, r.dist_r)
+         for r in kmeans_assign(
+             _emb_df(spark, vecs).repartition(7), k=4, iters=2).collect()}
+    assert a == b
+
+
+def test_kmeans_empty_cluster_carries_seed_forward(spark):
+    from text_extract_api_spark.functions.clustering import kmeans_assign
+
+    # seeds = vecs 0 and 1; every point is closest to seed 0's region, so
+    # cluster 1 goes empty after iteration 1 — must not crash or produce
+    # NULL centroids; all points stay in cluster 0
+    vecs = [[0.0, 0.0], [0.2, 0.0], [0.01, 0.0], [0.02, 0.0], [0.03, 0.0]]
+    out = kmeans_assign(_emb_df(spark, vecs), k=2, iters=2).collect()
+    assert all(r.cluster in (0, 1) for r in out)
+    assert all(r.dist_r is not None for r in out)
+
+
+def test_semdedup_flags_within_cluster_near_dups_only(spark):
+    from text_extract_api_spark.functions.clustering import semdedup
+
+    # vecs 0/1 nearly parallel (cos ~1) in blob A; vec 2 orthogonal-ish in
+    # A's cell would NOT be flagged; blob B far away with its own near-pair
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0],   # near-dup of 0 -> flagged (higher id)
+        [0.0, 1.0, 0.0],      # same cell maybe, but cos(0,2)=0 -> not flagged
+        [50.0, 50.0, 50.0],
+        [50.0, 50.0, 50.1],   # near-dup of 3 -> flagged
+    ]
+    out = {r.vec_id: r.sem_dup
+           for r in semdedup(_emb_df(spark, vecs), k=2, iters=1,
+                             threshold=0.95).collect()}
+    assert out[0] is False          # cluster minimum survives
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is False
+    assert out[4] is True
+
+
+def test_semdedup_emits_every_input_vector(spark):
+    from text_extract_api_spark.functions.clustering import semdedup
+
+    vecs = [[float(i), float(i % 3)] for i in range(17)]
+    out = semdedup(_emb_df(spark, vecs), k=3, iters=2, threshold=2.0)
+    assert out.count() == 17  # threshold 2.0 -> no flags, but all rows present
+    assert out.filter("sem_dup").count() == 0

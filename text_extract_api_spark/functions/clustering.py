@@ -167,3 +167,214 @@ def neardup_clusters(pairs: DataFrame) -> DataFrame:
         F.col("cluster_id"),
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------- k-means /
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding space
+# with k-means, then hunt near-duplicates ONLY inside each cluster — the
+# construction that turns the corpus-quadratic cosine-dedup problem into a
+# sum of per-cluster quadratics.
+
+KMEANS_K = 16
+KMEANS_ITERS = 2
+SEMDEDUP_COS = 0.35  # within-cluster near-dup threshold (sf-synthetic scale)
+
+
+def _sqdist_col(v, c) -> F.Column:
+    """Squared L2 distance, left-to-right fold in double, rounded to 9 dp.
+    The fold order matches the DuckDB oracle's list_sum(list_transform(
+    list_zip(...))) term order; rounding guards the residual engine noise
+    (different SIMD/merge orders) without ever deciding an argmin — gaps
+    between distinct random centroids are O(1), 9 dp is 10^8 below them."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def _assign_col(cents: list[list[float]]) -> F.Column:
+    """struct(dist, cluster) of the nearest centroid: array_min over
+    struct(dist, i) — struct comparison is lexicographic, so the minimum is
+    the smallest distance with ties broken to the lowest centroid index,
+    and every one of the k×dim distance terms is evaluated exactly once
+    per row (a transform-then-array_position form would evaluate the
+    distance array twice: no CSE across non-attribute HOF operands)."""
+    # ONE generated-SQL expr instead of k×dim F.lit() calls: each lit is a
+    # py4j round-trip, measured 0.6 s per assignment build at k=16/dim=64
+    # vs 1 ms for the parsed string (3 builds per kmeans call)
+    carr = F.expr(
+        "array("
+        + ",".join(
+            f"struct({i} as i, array("
+            + ",".join(f"{float(x)!r}D" for x in c)
+            + ") as c)"
+            for i, c in enumerate(cents)
+        )
+        + ")"
+    )
+    return F.array_min(
+        F.transform(
+            carr,
+            lambda e: F.struct(
+                _sqdist_col(F.col("v"), e["c"]).alias("dist"),
+                e["i"].alias("cluster"),
+            ),
+        )
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means with deterministic seeding (no RNG):
+    seeds = the k lowest-id vectors, every centroid rounded to 6 dp before
+    it becomes a broadcast literal, ``iters`` update rounds, then a final
+    assignment. Returns (vec_id, v, cluster, dist_r).
+
+    Plan shape per iteration (the standard distributed Lloyd, what MLlib's
+    KMeans also does): one row-local assignment pass over the corpus
+    (centroids ride into the task as literals — k×dim doubles, never a
+    join), then one posexplode + partial-aggregated groupBy(cluster, pos)
+    whose exchange carries only partitions×k×dim partial sums — the corpus
+    itself never shuffles. The k×dim driver collect per round is the
+    centroid update every Lloyd implementation performs; it does not grow
+    with the corpus. Empty clusters carry their previous centroid forward.
+
+    Rounding contract: centroid means are round(avg, 6) — the single point
+    where double summation order (Spark partition merge vs DuckDB
+    sequential) could diverge; 6 dp absorbs the ~1e-15 noise and every
+    downstream distance is then computed from bit-identical literals on
+    both engines. At 100 TB: assignment cost is k×dim fused-codegen-free
+    HOF work per row — for large k swap the assignment stage to the Arrow
+    ``mapInPandas`` replica (measured pattern: chunker 6×, minhash 2.3×);
+    k=8 keeps the interpreted term count (512/row) below that threshold.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # one parquet file = one input split locally: without this the per-row
+    # k×dim assignment work runs on a single core, and each Lloyd round
+    # would re-scan + re-shuffle; checkpoint once, iterate over cached
+    # partitions (a real cluster's scan already has splits — the
+    # repartition stays correct there, just redundant)
+    base = base.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    seed_rows = base.orderBy("vec_id").limit(k).collect()  # k rows, tiny
+    cents = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+    if not cents:
+        # empty corpus: no seeds exist, and _assign_col([]) would emit an
+        # untyped array() literal — return the (empty) frame with the
+        # contract schema instead of crashing
+        return base.select(
+            "vec_id",
+            "v",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("dist_r"),
+        )
+    for _ in range(iters):
+        assigned = base.withColumn("a", _assign_col(cents))
+        means = (
+            assigned.select(F.col("a")["cluster"].alias("cluster"), "v")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # k×dim rows — constant-size driver fetch
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            [round(by_c[i][p], 6) for p in range(len(cents[i]))]
+            if i in by_c
+            else cents[i]
+            for i in range(len(cents))
+        ]
+    final = base.withColumn("a", _assign_col(cents))
+    return final.select(
+        "vec_id",
+        "v",
+        F.col("a")["cluster"].alias("cluster"),
+        F.round(F.col("a")["dist"], 6).alias("dist_r"),
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, then flag the non-minimum member
+    of every within-cluster pair with cosine ≥ threshold. Returns
+    (vec_id, cluster, dist_r, sem_dup) for EVERY input vector.
+
+    Scale design: the pairwise stage is an equi-join on the cluster id —
+    cost Σ|cluster|², never corpus-quadratic. The knob that keeps it flat
+    as the corpus grows is k ∝ n / target_cell (SemDeDup uses ~0.1% of n;
+    10^9 vectors → k=10^5 keeps cells at ~10^4 rows / ~10^8 per-cell pairs
+    spread across the whole cluster). The same fixed hyperplane trick as
+    embedding_neardup_pairs could band WITHIN cells for another quadratic
+    cut; at the sandbox's k=8 the cells are benchmark-sized and the plain
+    join is the honest measurement. The cosine verify reuses
+    cosine_pair_col (similarity.py) — same fold, same round(_, 4) contract
+    as every other embedding operator.
+    """
+    from .similarity import _dot, _norm
+
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the assignment subtree is referenced THREE times below (both pair
+    # sides + the output base) and its k×dim HOF work is the plan's most
+    # expensive projection — materialize it once (same localCheckpoint
+    # treatment as connected_components' iterative frames; measured 6.2 s
+    # → 3.4 s at sf0.1)
+    assigned = assigned.localCheckpoint()
+    # norms are projected BELOW the cluster-key exchange the join forces, so
+    # each 64-term norm fold runs once per VECTOR; per PAIR only the dot
+    # fold remains (the naive cosine_pair_col form re-evaluates both norms
+    # per pair — measured 9 s → ~3 s at sf0.1 for this one change)
+    x = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"), _norm(F.col("v")).alias("na"),
+    )
+    y = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"), _norm(F.col("v")).alias("nb"),
+    )
+    # a zero-norm vector has no direction: cosine is undefined (and ANSI
+    # division raises) — sentinel -1.0 keeps it out of every dup set, the
+    # same rule the ADVICE-fixed cosine_topk_batch applies (-inf sentinel)
+    guarded_cos = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(-1.0)
+    ).otherwise(
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    )
+    dups = (
+        x.join(y, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", guarded_cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("sem_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dist_r",
+            F.coalesce(F.col("sem_dup"), F.lit(False)).alias("sem_dup"),
+        )
+    )
