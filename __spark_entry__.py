@@ -396,28 +396,21 @@ WHERE {cos} >= {EMB_NEARDUP_T}
 """.strip()
 
 
-def _semdedup_sql() -> str:
-    """SemDeDup oracle (clustering.kmeans_assign/semdedup twin): the
-    KMEANS_ITERS Lloyd rounds unrolled as CTE layers. Distances are the
-    same left-to-right double folds both engines compute bit-identically
-    (round-9 guards residual merge-order noise); centroid means are
-    round(avg, 6) — the single summation-order-sensitive spot, identical
-    rounding on both sides; cosine reuses the engine-wide unrolled-chain /
-    round-4 contract (_vec_dot_sql)."""
+def _kmeans_cte_sql() -> str:
+    """Shared k-means oracle prefix (clustering.kmeans_assign twin): the
+    KMEANS_ITERS Lloyd rounds unrolled as CTE layers, ending in ``fin``
+    (vec_id, cluster, dist_r). Distances are the same left-to-right double
+    folds both engines compute bit-identically (round-9 guards residual
+    merge-order noise); centroid means are round(avg, 6) — the single
+    summation-order-sensitive spot, identical rounding on both sides."""
     from text_extract_api_spark.functions.clustering import (
         KMEANS_ITERS,
         KMEANS_K,
-        SEMDEDUP_COS,
     )
 
     sq = (
         "round(list_sum(list_transform(list_zip(e.v, c.cv), "
         "s -> (s[1] - s[2]) * (s[1] - s[2]))), 9)"
-    )
-    cos = (
-        f"round(({_vec_dot_sql('ex.v', 'ey.v')}) / "
-        f"(sqrt({_vec_dot_sql('ex.v', 'ex.v')}) * "
-        f"sqrt({_vec_dot_sql('ey.v', 'ey.v')})), 4)"
     )
     parts = [
         f"""
@@ -463,7 +456,25 @@ fin AS (
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
     FROM e CROSS JOIN {prev} c
   ) WHERE rn = 1
-),
+)"""
+    )
+    return "".join(parts)
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the shared k-means prefix plus the within-cluster
+    cosine dup hunt; cosine reuses the engine-wide unrolled-chain /
+    round-4 contract (_vec_dot_sql)."""
+    from text_extract_api_spark.functions.clustering import SEMDEDUP_COS
+
+    cos = (
+        f"round(({_vec_dot_sql('ex.v', 'ey.v')}) / "
+        f"(sqrt({_vec_dot_sql('ex.v', 'ex.v')}) * "
+        f"sqrt({_vec_dot_sql('ey.v', 'ey.v')})), 4)"
+    )
+    return (
+        _kmeans_cte_sql()
+        + f""",
 dup AS (
   SELECT DISTINCT y.vec_id
   FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -476,8 +487,124 @@ dup AS (
 SELECT f.vec_id, f.cluster, f.dist_r,
        f.vec_id IN (SELECT vec_id FROM dup) AS sem_dup
 FROM fin f"""
-    )
-    return "".join(parts).strip()
+    ).strip()
+
+
+def _prototypes_sql() -> str:
+    """prune_prototypes oracle: shared k-means prefix + per-cluster rank
+    over (dist_r DESC, vec_id) and the ceil(keep_frac × |cell|) cut — one
+    double multiply of identical operands on both engines."""
+    from text_extract_api_spark.functions.clustering import PROTO_KEEP_FRAC
+
+    return (
+        _kmeans_cte_sql()
+        + f"""
+SELECT vec_id, cluster, dist_r, prune_rank,
+       prune_rank <= CAST(ceil({PROTO_KEEP_FRAC!r} * n_in_cluster) AS INT) AS keep
+FROM (
+  SELECT vec_id, cluster, dist_r,
+         CAST(row_number() OVER (
+             PARTITION BY cluster ORDER BY dist_r DESC, vec_id) AS INT)
+           AS prune_rank,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_in_cluster
+  FROM fin
+)"""
+    ).strip()
+
+
+def _substring_dup_sql() -> str:
+    """substring_dup_spans oracle: the same rolling-k-gram + interval-union
+    algebra — list_slice/array_to_string/md5 mirror slice/concat_ws/md5
+    token-for-token, and the running-max window (pos > max_prev(pos + k))
+    reproduces the exact interval union including gap < k overlaps."""
+    from text_extract_api_spark.functions.dedup import DUP_SUBSTR_K as K
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END
+           AS n_tokens,
+         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {K} - 1), chr(31))) AS fp
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, n_tokens - {K} + 2)) AS i
+    FROM base WHERE n_tokens >= {K}
+  )
+),
+dup AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (fp)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {K}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {K} AS e
+  FROM islands GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                       / CAST(b.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
+def _unigram_logppl_sql() -> str:
+    """unigram_logppl oracle: identical LM training (Laplace over the same
+    tokenization), per-token log-probs quantized to BIGINT micro-nats
+    before the per-doc sum — integer accumulation is order-free, so
+    Spark's partition-order sums and DuckDB's sequential fold agree
+    exactly; ln() runs on bit-identical integer-ratio doubles."""
+    from text_extract_api_spark.functions.quality import LOGP_SCALE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT word, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS vsize FROM vocab),
+logp AS (
+  SELECT word,
+         CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + vsize AS DOUBLE))
+                    * {LOGP_SCALE}.0, 0) AS BIGINT) AS logp_u
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         SUM(tf.tf * l.logp_u) AS nll_u
+  FROM tf JOIN logp l USING (word) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(round(-CAST(p.nll_u AS DOUBLE)
+             / (CAST(p.n_tokens AS DOUBLE) * {LOGP_SCALE}.0), 6), 0.0) AS logppl
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip()
 
 
 def _ann_ivf_sql() -> str:
@@ -2308,6 +2435,37 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_emb(spark, sf_dir))
 
 
+def q_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022): rank vectors by
+    distance to their k-means centroid, keep the hardest keep_frac per
+    cluster. One per-cluster window on top of the shared distributed-Lloyd
+    assignment; cell size governed by the k ∝ n/target_cell knob."""
+    from text_extract_api_spark.functions.clustering import prune_prototypes
+
+    return prune_prototypes(_emb(spark, sf_dir))
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (Lee et al. 2021): rolling token
+    k-grams fingerprinted row-locally, count-distinct-docs ≥ 2 marks a
+    gram duplicated, per-doc interval union (running-max window) merges
+    overlapping hits into maximal spans. Reference analog: none — the
+    training-data surface mandated by SURVEY.md §2.11."""
+    from text_extract_api_spark.functions.dedup import substring_dup_spans
+
+    return substring_dup_spans(_docs(spark, sf_dir))
+
+
+def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity signal (Wenzek et al. 2020) under a
+    corpus-trained Laplace unigram LM; per-token log-probs quantized to
+    integer micro-nats before the per-doc sum so no float accumulation
+    order can diverge between engines."""
+    from text_extract_api_spark.functions.quality import unigram_logppl
+
+    return unigram_logppl(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over the prebuilt cell-partitioned store (assignment computed
     once at build time; the r1 design re-assigned the corpus per query).
@@ -2826,6 +2984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
         "quality_c4_rules": q_quality_c4_rules,
         "semdedup_kmeans": q_semdedup_kmeans,
+        "prune_prototypes": q_prune_prototypes,
+        "dedup_substrings": q_dedup_substrings,
+        "quality_unigram_logppl": q_quality_unigram_logppl,
         "quality_gopher_rules": q_quality_gopher_rules,
         "dedup_intradoc": q_dedup_intradoc,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -2872,12 +3033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "corpus_filter_funnel": q_corpus_filter_funnel,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_batch_topk": q_ann_batch_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # --- 51+: long-stable (green r2 AND r3, code unchanged) ------------
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "token_count_bpe": q_token_count_bpe,
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
@@ -3072,6 +3233,9 @@ HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """.strip(),
         "quality_c4_rules": _c4_sql(),
         "semdedup_kmeans": _semdedup_sql(),
+        "prune_prototypes": _prototypes_sql(),
+        "dedup_substrings": _substring_dup_sql(),
+        "quality_unigram_logppl": _unigram_logppl_sql(),
         "quality_gopher_rules": _gopher_sql(),
         "dedup_intradoc": f"WITH {SYNTH_CTE},\n" + _intradoc_sql(),
         "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"

@@ -41,6 +41,9 @@ HEADLINE = [
     "quality_gopher_rules",
     "quality_c4_rules",
     "semdedup_kmeans",
+    "prune_prototypes",
+    "dedup_substrings",
+    "quality_unigram_logppl",
     "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",

@@ -196,3 +196,45 @@ def test_semdedup_emits_every_input_vector(spark):
     out = semdedup(_emb_df(spark, vecs), k=3, iters=2, threshold=2.0)
     assert out.count() == 17  # threshold 2.0 -> no flags, but all rows present
     assert out.filter("sem_dup").count() == 0
+
+
+# --- prototypicality pruning -------------------------------------------------
+
+
+def test_prune_prototypes_keeps_hardest_per_cluster(spark):
+    from text_extract_api_spark.functions.clustering import prune_prototypes
+
+    # two tight blobs + one far outlier per blob: hard mode must keep the
+    # outliers and cut the most prototypical members
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1], [3.0, 0.0]]
+    blob_b = [[9.0, 9.0], [9.1, 9.0], [9.0, 9.1], [9.1, 9.1], [9.0, 6.0]]
+    out = prune_prototypes(
+        _emb_df(spark, blob_a + blob_b), keep_frac=0.4, k=2, iters=2
+    ).collect()
+    assert len(out) == 10  # every vector emitted
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    import math
+
+    for rows in by_cluster.values():
+        kept = [r for r in rows if r.keep]
+        assert len(kept) == math.ceil(0.4 * len(rows))
+        # kept = the rows with the LARGEST dist_r (rank 1 = farthest)
+        assert max(r.dist_r for r in rows) == max(r.dist_r for r in kept)
+        assert all(r.prune_rank <= len(kept) for r in kept)
+    # the planted outliers (ids 4 and 9) must survive
+    keep_ids = {r.vec_id for r in out if r.keep}
+    assert {4, 9} <= keep_ids
+
+
+def test_prune_prototypes_soft_mode_keeps_nearest(spark):
+    from text_extract_api_spark.functions.clustering import prune_prototypes
+
+    vecs = [[0.0, 0.0], [0.1, 0.0], [5.0, 0.0]]
+    out = {r.vec_id: r for r in prune_prototypes(
+        _emb_df(spark, vecs), keep_frac=0.34, k=1, iters=1, keep_hard=False
+    ).collect()}
+    kept = [v for v, r in out.items() if r.keep]
+    # ceil(0.34*3) = 2 nearest-to-centroid survive; the far point is cut
+    assert len(kept) == 2 and 2 not in kept

@@ -44,6 +44,15 @@ BOUNDS = {
     # (bytes ~0 after pruning) + doc_id window. 1 bcast = the one-row N.
     "tfidf_topk_terms": (9, 0, 1, False),
     "quality_score": (1, 0, 0, False),
+    # 8 STATIC: repart + count-distinct's two agg levels + semi-probe
+    # re-exchange (AQE reuses the identical gram exchange) + hit window +
+    # spine-join exchanges (merge-hinted: per_doc is corpus-scaled);
+    # 2 windows = running max(pos+k) + running sum(newi)
+    "dedup_substrings": (8, 0, 2, True),
+    # 13 STATIC: the tf subtree appears under both the LM chain and the
+    # score join (AQE runtime-reuses the identical exchange, tfidf lesson)
+    # + vocab/totals aggs + merge-hinted LM and doc-spine joins
+    "quality_unigram_logppl": (13, 0, 0, True),
     # 1 = the input-split repartition; the rules themselves are row-local
     "quality_gopher_rules": (1, 0, 0, False),
     # all 5 shuffles belong to the synth scaffolding that BUILDS the

@@ -425,3 +425,50 @@ def test_c4_sentence_runs_count_once(spark):
     r = _c4(spark, [(1, txt)])[1]
     assert r.n_sentences == 3
     assert r.c4_reason == "keep"
+
+
+# --- unigram log-perplexity --------------------------------------------------
+
+
+def test_unigram_logppl_matches_hand_computation(spark):
+    import math
+
+    from text_extract_api_spark.functions.quality import LOGP_SCALE, unigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logppl(docs).collect()}
+    # vocab: a=2, b=2, c=1; total=5, V=3 -> Laplace p = (cnt+1)/(total+V)
+    lp = {
+        w: round(math.log((c + 1) / 8.0) * LOGP_SCALE)
+        for w, c in {"a": 2, "b": 2, "c": 1}.items()
+    }
+    def r6(x: float) -> float:  # HALF_UP like Spark/DuckDB round, not banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    exp1 = r6(-(2 * lp["a"] + lp["b"]) / (3 * LOGP_SCALE))
+    exp2 = r6(-(lp["b"] + lp["c"]) / (2 * LOGP_SCALE))
+    assert (out[1].n_tokens, out[1].logppl) == (3, exp1)
+    assert (out[2].n_tokens, out[2].logppl) == (2, exp2)
+    # empty doc still emits a row; float outputs are never NULL
+    assert (out[3].n_tokens, out[3].logppl) == (0, 0.0)
+    # the rare-word doc is more surprising than the common-word doc
+    assert out[2].logppl > out[1].logppl
+
+
+def test_unigram_logppl_partitioning_invariant(spark):
+    from text_extract_api_spark.functions.quality import unigram_logppl
+
+    rows = [
+        (i, " ".join(f"tok{(i * j) % 17}" for j in range(1, 25)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.n_tokens, r.logppl) for r in unigram_logppl(docs).collect()}
+    b = {
+        r.doc_id: (r.n_tokens, r.logppl)
+        for r in unigram_logppl(docs.repartition(11)).collect()
+    }
+    assert a == b

@@ -49,7 +49,7 @@ surface built on top of that contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Safety valve only: large-star/small-star provably converges in O(log² n)
 # alternations — 30 rounds covers any physically storable corpus.
@@ -376,5 +376,60 @@ def semdedup(
             "cluster",
             "dist_r",
             F.coalesce(F.col("sem_dup"), F.lit(False)).alias("sem_dup"),
+        )
+    )
+
+
+PROTO_KEEP_FRAC = 0.6
+
+
+def prune_prototypes(
+    emb: DataFrame,
+    keep_frac: float = PROTO_KEEP_FRAC,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    keep_hard: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning"):
+    rank every vector by its distance to its k-means centroid and keep the
+    ``keep_frac`` fraction per cluster — ``keep_hard=True`` keeps the
+    FARTHEST (hardest) examples, the paper's regime for abundant data;
+    ``keep_hard=False`` keeps the most prototypical (scarce-data regime).
+    Returns (vec_id, cluster, dist_r, prune_rank, keep) for every vector.
+
+    Scale design: everything after ``kmeans_assign`` (whose distributed
+    shape is documented there) is ONE window over the cluster id — the
+    partition count equals k and per-partition size is the cell size, both
+    governed by the same k ∝ n / target_cell knob as semdedup, so no
+    single task ever sees more than a cell. Ranking is over the round-6
+    dist_r both engines computed from bit-identical centroid literals,
+    with vec_id as the deterministic tiebreak; the keep cut
+    ceil(keep_frac × |cell|) is a single double multiply of identical
+    operands on both engines (exact same IEEE result, no epsilon needed).
+    """
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    order = (
+        [F.col("dist_r").desc(), F.col("vec_id").asc()]
+        if keep_hard
+        else [F.col("dist_r").asc(), F.col("vec_id").asc()]
+    )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    wc = Window.partitionBy("cluster")
+    return (
+        assigned.select("vec_id", "cluster", "dist_r")
+        .withColumn("prune_rank", F.row_number().over(w))
+        .withColumn("n_in_cluster", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            "cluster",
+            "dist_r",
+            "prune_rank",
+            (
+                F.col("prune_rank")
+                <= F.ceil(F.lit(float(keep_frac)) * F.col("n_in_cluster")).cast("int")
+            ).alias("keep"),
         )
     )

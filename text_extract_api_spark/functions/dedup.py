@@ -675,3 +675,126 @@ def intradoc_segment_dedup(
             "clean_fp",
         )
     )
+
+
+# ------------------------------------------------------------- exact-substring
+# dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): find CROSS-document duplicated token spans of >= k tokens. The
+# paper builds a corpus-wide suffix array on one giant machine; the
+# Spark-native equivalent is the rolling k-gram fingerprint construction —
+# every duplicated substring of length >= k contains a duplicated k-gram, so
+# flagging k-gram matches and merging overlapping hits per document recovers
+# exactly the union of duplicated spans (token-granular, not byte-granular:
+# the only semantic delta vs the suffix-array form, and the one that makes
+# the construction shuffle-bounded).
+
+DUP_SUBSTR_K = 8  # gram width in tokens (Lee et al. use 50; synthetic docs are short)
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = DUP_SUBSTR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-substring audit. Returns
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac) for EVERY input
+    document — dup_tokens = |union of all token spans [pos, pos+k) whose
+    k-gram occurs in >= 2 distinct documents|.
+
+    Scale design:
+    - Gram fingerprints are ROW-LOCAL (md5 over a slice of the token array
+      inside one transform over sequence — the token array is an attribute
+      operand, so each slice reads the array built once per row). No
+      shuffle happens before aggregation.
+    - Shuffle 1: groupBy(fp) with COUNT(DISTINCT doc_id) — map-side partial
+      aggregation collapses each partition's repeated boilerplate grams
+      before the exchange. The left-semi probe back onto the gram frame
+      reuses the same hash partitioning (co-partitioned equi-join; merge
+      hint keeps the static planner from broadcasting a corpus-scaled
+      dup-fp set — AQE still downgrades to broadcast when it is genuinely
+      small).
+    - Shuffle 2: per-document interval union — a window over (doc_id, pos)
+      whose input is ONLY the duplicated-gram hits, bounded by dup density,
+      never the token stream. Merging uses the running max of span ends
+      (pos > max_prev(pos + k) opens a new island), i.e. exact interval
+      union including the gap < k overlap case a naive consecutive-run
+      grouping would double count.
+    - Shuffle 3: the left join back to the doc spine so zero-dup and
+      shorter-than-k documents still emit (n_dup_spans = 0) rows
+      (paragraph_dedup lesson: absent rows read as unprocessed).
+    At 100 TB the gram frame is ~tokens-per-corpus rows of (fp, doc, pos);
+    for the byte-exact Lee et al. span boundaries swap the gram stage to
+    the Arrow ``mapInPandas`` replica over byte offsets — the downstream
+    algebra (count>=2 semi, interval union) is unchanged.
+    """
+    from .textstats import token_count_col
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("toks"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    grams = base.filter(F.col("n_tokens") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - k),
+                lambda i: F.md5(
+                    F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, F.lit(k)))
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    hits = grams.join(dup_fps.hint("merge"), "fp", "left_semi")
+
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    islands = hits.withColumn(
+        "newi",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + F.lit(k)).over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("newi").over(w_order))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(k)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        # merge hint: per_doc scales with the corpus (up to one row per
+        # doc) — the static planner must not broadcast it at 100 TB; AQE
+        # still downgrades to broadcast when it is genuinely small
+        .join(per_doc.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias(
+                "dup_tokens"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -452,3 +452,102 @@ def c4_rules(
         (reason != "keep").alias("c4_flagged"),
         F.md5(kept_text).alias("clean_fp"),
     )
+
+
+# ----------------------------------------------------------- perplexity proxy
+LOGP_SCALE = 1_000_000  # fixed-point micro-nats per token
+
+
+def unigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity quality signal (Wenzek et al. 2020) with a
+    corpus-trained unigram LM standing in for KenLM (no model binaries in
+    this environment; the plan shape — score every doc against a broadcast/
+    joined LM table — is identical). Returns (doc_id, n_tokens, logppl)
+    for every document; logppl = mean negative log-likelihood per token
+    under the Laplace-smoothed corpus unigram distribution (lower = more
+    typical text; CCNet buckets on exactly this statistic).
+
+    Determinism contract: per-token log-probabilities are quantized to
+    BIGINT micro-nats (round(ln(p) × 1e6)) BEFORE the per-document sum, so
+    the only floating-point accumulation in the operator is replaced by
+    exact integer arithmetic — Spark's partition-order-dependent double
+    summation can never drift from DuckDB's sequential fold. ln() runs on
+    bit-identical (cnt+1)/(total+V) doubles on both engines; the final
+    division is one op over identical operands.
+
+    Scale design: explode → groupBy(doc_id, word) term frequencies
+    (map-side combine collapses repeats), groupBy(word) LM counts, a
+    merge-hinted equi-join of the two on word (the LM table scales with
+    the vocabulary — the static planner must not broadcast it; AQE
+    downgrades when genuinely small), corpus totals as a one-row broadcast
+    cross join, then groupBy(doc_id) reassembly. Four bounded shuffles,
+    no driver state beyond the one-row totals.
+    """
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT)
+            ).alias("word"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vsize"),
+    )
+    logp = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1)).cast("double")
+                    / (F.col("total") + F.col("vsize")).cast("double")
+                )
+                * F.lit(float(LOGP_SCALE)),
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_u"),
+        )
+    )
+    per_doc = (
+        tf.join(logp.hint("merge"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_u")).alias("nll_u"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        # merge hint: per_doc is one row per non-empty doc — corpus-scaled,
+        # never statically broadcastable
+        .join(per_doc.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            # 0.0 (not NULL) for zero-token docs: NULL doubles read as NaN
+            # through the driver's pandas-based hash gate on the DuckDB
+            # side but None on the Spark side — the engine-wide rule is
+            # float output columns are never NULL
+            F.coalesce(
+                F.round(
+                    -F.col("nll_u").cast("double")
+                    / (
+                        F.col("n_tokens").cast("double")
+                        * F.lit(float(LOGP_SCALE))
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("logppl"),
+        )
+    )
