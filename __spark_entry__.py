@@ -2185,6 +2185,69 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) data card — the corpus-statistics report every
+    training run starts from: doc/token/BPE-token totals, mean composite
+    quality, language-ID failures, Gopher and repetition flag counts.
+    Every signal is a row-local expression over ONE scan; the single
+    exchange is the map-side-combined groupBy on (lang, source) — a
+    strata-count-sized shuffle at any corpus size. Mean quality sums
+    FIXED-POINT (×10⁴) per-doc scores so the aggregation is exact integer
+    arithmetic — no partition-order float drift (unigram_logppl rule)."""
+    docs = _docs(spark, sf_dir)
+    g = quality.gopher_cols("text")
+    rep = quality.repetition_cols("text")
+    enriched = docs.select(
+        "lang",
+        "source",
+        token_count_col(F.col("text")).cast("bigint").alias("n_tok"),
+        token_count_bpe_col(F.col("text")).cast("bigint").alias("n_bpe"),
+        F.round(quality_score_col(F.col("text")) * 10000, 0)
+        .cast("bigint")
+        .alias("q_q"),
+        (lang_id_col(F.col("text")) == "und").cast("bigint").alias("und"),
+        (quality.gopher_reason_col(g) != "keep").cast("bigint").alias("gflag"),
+        quality.rep_flagged_col(rep).cast("bigint").alias("rflag"),
+    )
+    return enriched.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        # +1e-9: an exact-decimal quotient (integer sums) lands on a .xxxx5
+        # knife edge where Spark's shortest-repr BigDecimal HALF_UP and
+        # DuckDB's scale-multiply rounding disagree — the shared epsilon
+        # pushes both engines off the edge (quality_score rule)
+        F.round(
+            F.sum("q_q").cast("double")
+            / (F.count("*").cast("double") * F.lit(10000.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("mean_quality"),
+        F.sum("und").cast("bigint").alias("n_lang_und"),
+        F.sum("gflag").cast("bigint").alias("n_gopher_flagged"),
+        F.sum("rflag").cast("bigint").alias("n_rep_flagged"),
+    )
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: the near-dup clusters keep their
+    HIGHEST-quality member (id tiebreak) instead of the minimum id — what
+    a production dedup ships. Composes three parity-proven operators:
+    minhash pair generation → connected components → composite quality."""
+    from text_extract_api_spark.functions.clustering import (
+        cluster_keep_best,
+        neardup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dups(docs, threshold=NEARDUP_T).select("id_a", "id_b")
+    members = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    scored = docs.select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+    return cluster_keep_best(members, scored)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs → connected components → canonical doc per
     cluster (large-star/small-star; clustering.py). The end product of the
@@ -2987,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_prototypes": q_prune_prototypes,
         "dedup_substrings": q_dedup_substrings,
         "quality_unigram_logppl": q_quality_unigram_logppl,
+        "corpus_datacard": q_corpus_datacard,
+        "neardup_keep_best": q_neardup_keep_best,
         "quality_gopher_rules": q_quality_gopher_rules,
         "dedup_intradoc": q_dedup_intradoc,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -3022,13 +3087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "vocab_topk": q_vocab_topk,
         "length_quantiles": q_length_quantiles,
-        "extraction_metrics_rollup": q_extraction_metrics_rollup,
         "dedup_paragraphs": q_dedup_paragraphs,
         "chunk_windows": q_chunk_windows,
         "pack_sequences": q_pack_sequences,
         "pack_multimodal": q_pack_multimodal,
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
-        "dedup_simhash": q_dedup_simhash,
         "neardup_clusters": q_neardup_clusters,
         "quality_repetition": q_quality_repetition,
         "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3039,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "extraction_metrics_rollup": q_extraction_metrics_rollup,
+        "dedup_simhash": q_dedup_simhash,
         "token_count_bpe": q_token_count_bpe,
         "pii_anonymize": q_pii_anonymize,
         "ner_anonymize": q_ner_anonymize,
@@ -3126,6 +3191,61 @@ SELECT CAST(id AS BIGINT) AS doc_id,
 FROM reach
 GROUP BY id"""
     )
+    # keep_best: the same recursive closure, canonical = argmax quality
+    keep_best_sql = (
+        f"WITH RECURSIVE {neardup_pair_ctes},\n"
+        + """
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(id, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+members AS (
+  SELECT CAST(id AS BIGINT) AS doc_id,
+         CAST(LEAST(id, MIN(r)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+qq AS ("""
+        + _quality_sql()
+        + """)
+SELECT m.doc_id, m.cluster_id, qq.quality,
+       row_number() OVER (
+         PARTITION BY m.cluster_id ORDER BY qq.quality DESC, m.doc_id
+       ) = 1 AS keep_best
+FROM members m JOIN qq ON qq.doc_id = m.doc_id"""
+    )
+    datacard_sql = f"""
+WITH lp AS ({_lang_id_sql()}),
+qq AS ({_quality_sql()}),
+gp AS ({_gopher_sql()}),
+rp AS ({_repetition_sql()})
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(d.text), '[ \\t\\r\\n]+'))
+                END) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(d.text, '{BPE_TOKEN_RE}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       round(CAST(SUM(CAST(round(qq.quality * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 10000.0) + 1e-9, 4) AS mean_quality,
+       CAST(SUM(CASE WHEN lp.lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_und,
+       CAST(SUM(CASE WHEN gp.gopher_flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_flagged,
+       CAST(SUM(CASE WHEN rp.rep_flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rep_flagged
+FROM documents d
+JOIN lp ON lp.doc_id = d.doc_id
+JOIN qq ON qq.doc_id = d.doc_id
+JOIN gp ON gp.doc_id = d.doc_id
+JOIN rp ON rp.doc_id = d.doc_id
+GROUP BY 1, 2
+""".strip()
     # Funnel oracle: non-canonical near-dup members via the same recursive
     # closure, then the lang/quality/repetition oracles as nested subqueries
     # (first-reason precedence identical to the Spark CASE chain).
@@ -3443,6 +3563,8 @@ FROM documents
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",
         "dedup_minhash_neardups": neardup_full,
         "neardup_clusters": neardup_clusters_sql,
+        "neardup_keep_best": keep_best_sql,
+        "corpus_datacard": datacard_sql,
         "quality_repetition": _repetition_sql(),
         "decontaminate_ngrams": _decontaminate_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -44,6 +44,8 @@ HEADLINE = [
     "prune_prototypes",
     "dedup_substrings",
     "quality_unigram_logppl",
+    "corpus_datacard",
+    "neardup_keep_best",
     "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",

@@ -238,3 +238,22 @@ def test_prune_prototypes_soft_mode_keeps_nearest(spark):
     kept = [v for v, r in out.items() if r.keep]
     # ceil(0.34*3) = 2 nearest-to-centroid survive; the far point is cut
     assert len(kept) == 2 and 2 not in kept
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(spark):
+    from text_extract_api_spark.functions.clustering import cluster_keep_best
+
+    members = spark.createDataFrame(
+        [(1, 1), (5, 1), (9, 1), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (5, 0.9), (9, 0.9), (20, 0.5), (21, 0.5), (99, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = {r.doc_id: r for r in cluster_keep_best(members, scored).collect()}
+    assert len(out) == 5  # members only; unclustered 99 not emitted
+    # cluster 1: quality argmax is a TIE between 5 and 9 -> lowest id wins
+    assert [out[i].keep_best for i in (1, 5, 9)] == [False, True, False]
+    # cluster 20: tie -> id 20 wins (min-id fallback on equal quality)
+    assert [out[i].keep_best for i in (20, 21)] == [True, False]

@@ -55,6 +55,10 @@ BOUNDS = {
     "quality_unigram_logppl": (13, 0, 0, True),
     # 1 = the input-split repartition; the rules themselves are row-local
     "quality_gopher_rules": (1, 0, 0, False),
+    # 2 = repartition + the single strata-sized groupBy(lang, source);
+    # all signals are row-local over one scan (the oracle's 4 per-doc
+    # joins collapse to one projection on the Spark side)
+    "corpus_datacard": (2, 0, 0, False),
     # all 5 shuffles belong to the synth scaffolding that BUILDS the
     # interleaved table locally (explode + doc regroup + dup-redirect
     # join); the operator itself is the trailing Arrow stage — zero

@@ -472,3 +472,28 @@ def test_unigram_logppl_partitioning_invariant(spark):
         for r in unigram_logppl(docs.repartition(11)).collect()
     }
     assert a == b
+
+
+def test_corpus_datacard_is_consistent_with_per_doc_operators(spark):
+    """The data card must be the exact groupBy of the per-doc operators it
+    composes — totals cross-checked against the standalone queries."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    card = entry.q_corpus_datacard(spark, sf).collect()
+    docs = entry._docs(spark, sf)
+    assert sum(r.n_docs for r in card) == docs.count()
+    tok = {
+        r.doc_id: r.n_tokens for r in entry.q_token_count(spark, sf).collect()
+    }
+    assert sum(r.total_tokens for r in card) == sum(tok.values())
+    gf = entry.queries()["quality_gopher_rules"](spark, sf).collect()
+    assert sum(r.n_gopher_flagged for r in card) == sum(
+        1 for r in gf if r.gopher_flagged
+    )
+    rep = entry.queries()["quality_repetition"](spark, sf).collect()
+    assert sum(r.n_rep_flagged for r in card) == sum(
+        1 for r in rep if r.rep_flagged
+    )
+    # mean_quality is bounded and fixed-point exact
+    assert all(0.0 <= r.mean_quality <= 1.0 for r in card)

@@ -433,3 +433,37 @@ def prune_prototypes(
             ).alias("keep"),
         )
     )
+
+
+def cluster_keep_best(
+    members: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: for every near-dup cluster keep
+    the member with the HIGHEST score (id tiebreak) instead of the lowest
+    id — what production dedup actually ships (drop the worse copies, not
+    the arbitrarily-later ones). ``members`` = (id_col, cluster_col) from
+    ``neardup_clusters``; ``scored`` = (id_col, score_col) for the corpus.
+
+    Scale design: one merge-hinted equi-join on the doc id (the scored
+    side is corpus-sized — never statically broadcastable; AQE downgrades
+    when small) + one window partitioned by cluster id. Cluster sizes are
+    duplicate-chain sizes — bounded by the dedup threshold, not the
+    corpus — so no window partition can concentrate load.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        members.join(scored.hint("merge"), id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            (F.col("rk") == 1).alias("keep_best"),
+        )
+    )

@@ -723,10 +723,16 @@ def substring_dup_spans(
     - Shuffle 3: the left join back to the doc spine so zero-dup and
       shorter-than-k documents still emit (n_dup_spans = 0) rows
       (paragraph_dedup lesson: absent rows read as unprocessed).
-    At 100 TB the gram frame is ~tokens-per-corpus rows of (fp, doc, pos);
-    for the byte-exact Lee et al. span boundaries swap the gram stage to
-    the Arrow ``mapInPandas`` replica over byte offsets — the downstream
-    algebra (count>=2 semi, interval union) is unchanged.
+    At 100 TB the gram frame is ~tokens-per-corpus rows of (fp, doc, pos).
+    The gram stage deliberately stays in the JVM: unlike the minhash/chunk
+    cases (per-row work = elements × seeds/width), each gram is ONE md5
+    over a short slice-concat, and the interleaved same-session A/B at
+    sf0.1 measured the Arrow ``mapInPandas`` replica 1.7× SLOWER (min-of-3
+    0.396 s vs 0.238 s, bit-identical 235,704-row output) — Python's
+    per-gram hashlib + slicing overhead exceeds the interpreted-lambda
+    cost it removes. For byte-exact Lee et al. span boundaries an Arrow
+    byte-offset variant would slot in here; the downstream algebra
+    (count>=2 semi, interval union) is unchanged either way.
     """
     from .textstats import token_count_col
 
