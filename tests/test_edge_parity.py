@@ -35,6 +35,12 @@ EDGE_SENSITIVE = [
     "quality_repetition",
     "quality_gopher_rules",
     "dedup_intradoc",
+    "quality_c4_rules",
+    # r4 wave 2: substring grams + the unigram LM (whose NULL-logppl
+    # pandas-NaN trap the edge corpus caught) + the composed datacard
+    "dedup_substrings",
+    "quality_unigram_logppl",
+    "corpus_datacard",
 ]
 
 

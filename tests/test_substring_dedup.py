@@ -94,3 +94,58 @@ def test_partitioning_invariance(spark):
     b = {r.doc_id: (r.n_dup_spans, r.dup_tokens, r.dup_frac)
          for r in substring_dup_spans(df.repartition(13), k=6).collect()}
     assert a == b
+
+
+def test_matches_bruteforce_oracle_on_random_corpus(spark):
+    """Operator output == a direct Python computation of the union of
+    duplicated >=k-token spans, on a seeded corpus with heavy boilerplate
+    reuse (cross-doc shared runs of varying lengths, short docs, empties)."""
+    import random
+
+    from text_extract_api_spark.functions.dedup import substring_dup_spans
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = [
+        [rng.choice(vocab) for _ in range(rng.randint(6, 14))] for _ in range(5)
+    ]
+    docs_tokens = []
+    for i in range(50):
+        toks: list[str] = []
+        for _ in range(rng.randint(0, 4)):
+            if rng.random() < 0.5:
+                toks += rng.choice(boiler)
+            toks += [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        docs_tokens.append(toks)
+    docs_tokens.append([])  # empty doc
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+
+    K = 5
+    grams: dict[tuple, set] = {}
+    for i, toks in enumerate(docs_tokens):
+        for p in range(len(toks) - K + 1):
+            grams.setdefault(tuple(toks[p : p + K]), set()).add(i)
+    expected = {}
+    for i, toks in enumerate(docs_tokens):
+        dup_pos = [
+            p
+            for p in range(len(toks) - K + 1)
+            if len(grams[tuple(toks[p : p + K])] - {i}) > 0
+        ]
+        spans = []
+        for p in dup_pos:  # interval union of [p, p+K)
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + K)
+            else:
+                spans.append([p, p + K])
+        dup_tokens = sum(e - s for s, e in spans)
+        n = len(toks)
+        frac = round(dup_tokens / n, 6) if n else 0.0
+        expected[i] = (n, len(spans), dup_tokens, frac)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in substring_dup_spans(df, k=K).collect()
+    }
+    assert got == expected
