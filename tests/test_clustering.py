@@ -257,3 +257,18 @@ def test_cluster_keep_best_prefers_quality_over_min_id(spark):
     assert [out[i].keep_best for i in (1, 5, 9)] == [False, True, False]
     # cluster 20: tie -> id 20 wins (min-id fallback on equal quality)
     assert [out[i].keep_best for i in (20, 21)] == [True, False]
+
+
+def test_kmeans_arrow_assignment_matches_jvm(spark):
+    """assign_arrow=True (numpy matmul assignment, the large-k scale mode)
+    must reproduce the oracle-checked JVM path exactly: same clusters,
+    same round-6 distances, through ALL Lloyd rounds (a single divergent
+    assignment would cascade into different centroids)."""
+    from text_extract_api_spark.functions.clustering import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    jvm = {r.vec_id: (r.cluster, r.dist_r)
+           for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    arr = {r.vec_id: (r.cluster, r.dist_r)
+           for r in kmeans_assign(emb, k=8, iters=2, assign_arrow=True).collect()}
+    assert jvm == arr
