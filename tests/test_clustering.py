@@ -272,3 +272,48 @@ def test_kmeans_arrow_assignment_matches_jvm(spark):
     arr = {r.vec_id: (r.cluster, r.dist_r)
            for r in kmeans_assign(emb, k=8, iters=2, assign_arrow=True).collect()}
     assert jvm == arr
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    # n < k: only n seeds exist; every vector must still be assigned,
+    # in both assignment paths
+    from text_extract_api_spark.functions.clustering import kmeans_assign
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [5.0, 5.0]]
+    for arrow in (False, True):
+        out = kmeans_assign(
+            _emb_df(spark, vecs), k=8, iters=2, assign_arrow=arrow
+        ).collect()
+        assert len(out) == 3
+        assert all(r.cluster is not None and r.dist_r is not None for r in out)
+        # 3 distinct seeds = 3 singleton clusters, each at distance 0
+        assert sorted(r.cluster for r in out) == [0, 1, 2]
+        assert all(r.dist_r == 0.0 for r in out)
+
+
+def test_semdedup_cell_arrow_matches_join_form(spark):
+    """The cell-local Arrow verify must reproduce the join + HOF-dot form
+    exactly (same fold order by construction) — on the real sf0.01
+    embedding table and on a handcrafted corpus with a zero-norm vector."""
+    from text_extract_api_spark.functions.clustering import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = {r.vec_id: (r.cluster, r.dist_r, r.sem_dup)
+         for r in semdedup(emb, cell_arrow=True).collect()}
+    b = {r.vec_id: (r.cluster, r.dist_r, r.sem_dup)
+         for r in semdedup(emb, cell_arrow=False).collect()}
+    assert a == b
+
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0],
+        [0.0, 0.0, 0.0],   # zero norm: never a dup of anything
+        [50.0, 50.0, 50.0],
+        [50.0, 50.0, 50.1],
+    ]
+    df = _emb_df(spark, vecs)
+    for flag in (True, False):
+        out = {r.vec_id: r.sem_dup
+               for r in semdedup(df, k=2, iters=1, threshold=0.95,
+                                 cell_arrow=flag).collect()}
+        assert out == {0: False, 1: True, 2: False, 3: False, 4: True}, flag

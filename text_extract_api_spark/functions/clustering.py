@@ -370,6 +370,72 @@ def kmeans_assign(
     )
 
 
+def _semdedup_cells(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Cell-local SemDeDup verify: ONE ``applyInPandas`` over the cluster
+    cells replaces the self-join + distinct + spine re-join — this is the
+    construction the SemDeDup paper actually describes (a per-cluster
+    pairwise matrix), and it never materializes a pair ROW: the join form
+    ships two 64-dim arrays per pair through an exchange and evaluates an
+    interpreted 64-term HOF dot per pair; here the cell's cosine matrix is
+    built by a per-DIMENSION accumulation of rank-1 outer products.
+
+    Bit-exactness: the dimension loop accumulates ``acc += v[:,d]·v[:,d]ᵀ``
+    in dimension order, so every (i, j) entry experiences EXACTLY the JVM
+    fold's add sequence (init 0.0, += product per dim, left to right) —
+    same for the norm folds and the single divide — making the result
+    bit-identical to the join form / DuckDB oracle, not merely close
+    (pinned by pytest). np.round half-even vs Spark HALF_UP needs a cosine
+    within ~1e-16 of the 1e-4 grid midpoint — negligible for fold ratios.
+    Row-chunked so the live (chunk × |cell|) slab stays ~32 MB: cell size
+    is already bounded by the k ∝ n / target_cell knob, the chunking just
+    decouples worker memory from the knob's exact setting.
+    Pair order (i < j on vec_id) is realized by sorting the cell on vec_id
+    — exact for numeric and ASCII-string ids (pandas vs UTF8-binary
+    collation can differ on non-ASCII string ids; map such ids to dense
+    longs first, the connected_components guidance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema["vec_id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        n, d = V.shape
+        nacc = np.zeros(n)
+        for t in range(d):
+            nacc += V[:, t] * V[:, t]
+        na = np.sqrt(nacc)
+        dup = np.zeros(n, dtype=bool)
+        chunk = max(1, 4_000_000 // max(1, n))
+        idx = np.arange(n)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            acc = np.zeros((e - s, n))
+            for t in range(d):
+                acc += V[s:e, t, None] * V[None, :, t]
+            denom = na[s:e, None] * na[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(acc / denom, 4)
+            cos[(na[s:e] == 0)[:, None] | (na == 0)[None, :]] = -1.0
+            ge = (cos >= thr) & (idx[s:e, None] < idx[None, :])  # strict i<j
+            dup |= ge.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "dist_r": pdf["dist_r"],
+                "sem_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        cell, f"vec_id {id_type}, cluster int, dist_r double, sem_dup boolean"
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -378,21 +444,24 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_arrow: bool = True,
+    cell_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup: k-means the embeddings, then flag the non-minimum member
     of every within-cluster pair with cosine ≥ threshold. Returns
     (vec_id, cluster, dist_r, sem_dup) for EVERY input vector.
 
-    Scale design: the pairwise stage is an equi-join on the cluster id —
-    cost Σ|cluster|², never corpus-quadratic. The knob that keeps it flat
-    as the corpus grows is k ∝ n / target_cell (SemDeDup uses ~0.1% of n;
-    10^9 vectors → k=10^5 keeps cells at ~10^4 rows / ~10^8 per-cell pairs
-    spread across the whole cluster). The same fixed hyperplane trick as
-    embedding_neardup_pairs could band WITHIN cells for another quadratic
-    cut; at the sandbox's k=8 the cells are benchmark-sized and the plain
-    join is the honest measurement. The cosine verify reuses
-    cosine_pair_col (similarity.py) — same fold, same round(_, 4) contract
-    as every other embedding operator.
+    Scale design: the pairwise stage is Σ|cluster|² work, never
+    corpus-quadratic; the knob that keeps it flat as the corpus grows is
+    k ∝ n / target_cell (SemDeDup uses ~0.1% of n; 10^9 vectors → k=10^5
+    keeps cells at ~10^4 rows). ``cell_arrow=True`` (default) runs the
+    verify as ONE cell-local Arrow stage (_semdedup_cells — no pair rows
+    ever materialize; measured ×16-corpus probe: 309 s join-form → see
+    BENCH notes for the cell-form number); ``cell_arrow=False`` keeps the
+    equi-join + interpreted-HOF-dot form, bit-identical by construction
+    (the cell kernel replays the JVM fold order), as the oracle-twin
+    reference. The same fixed hyperplane trick as embedding_neardup_pairs
+    could band WITHIN cells for another quadratic cut if cells must exceed
+    the knob.
     """
     from .similarity import _dot, _norm
 
@@ -402,12 +471,14 @@ def semdedup(
         # (_assign_frame numbers); output pinned bit-identical by pytest
         assign_arrow=assign_arrow,
     )
-    # the assignment subtree is referenced THREE times below (both pair
-    # sides + the output base) and its k×dim HOF work is the plan's most
+    # the assignment subtree is referenced up to three times below (pair
+    # sides + the output base) and its k×dim work is the plan's most
     # expensive projection — materialize it once (same localCheckpoint
     # treatment as connected_components' iterative frames; measured 6.2 s
     # → 3.4 s at sf0.1)
     assigned = assigned.localCheckpoint()
+    if cell_arrow:
+        return _semdedup_cells(assigned, threshold)
     # norms are projected BELOW the cluster-key exchange the join forces, so
     # each 64-term norm fold runs once per VECTOR; per PAIR only the dot
     # fold remains (the naive cosine_pair_col form re-evaluates both norms
