@@ -419,9 +419,10 @@ WITH e AS (
   FROM embeddings
 ),
 c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid,
          list_transform(v, x -> round(x, 6)) AS cv
-  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_K}
 )"""
     ]
     prev = "c0"

@@ -133,13 +133,13 @@ def test_kmeans_separates_two_obvious_blobs(spark):
 
     blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]]
     blob_b = [[5.0, 5.0], [5.1, 5.0], [5.0, 5.1], [5.1, 5.1]]
-    out = kmeans_assign(_emb_df(spark, blob_a + blob_b), k=2, iters=2).collect()
+    # hash-spread seeding may start both seeds in one blob; a few Lloyd
+    # rounds must still pull the centroids apart on well-separated blobs
+    out = kmeans_assign(_emb_df(spark, blob_a + blob_b), k=2, iters=4).collect()
     by_id = {r.vec_id: r.cluster for r in out}
     assert len({by_id[i] for i in range(4)}) == 1
     assert len({by_id[i] for i in range(4, 8)}) == 1
     assert by_id[0] != by_id[4]
-    # seed 0 is vec 0 -> blob A keeps cluster 0, blob B lands in cluster 1
-    assert by_id[0] == 0 and by_id[4] == 1
 
 
 def test_kmeans_deterministic_across_runs_and_partitionings(spark):
@@ -158,13 +158,18 @@ def test_kmeans_deterministic_across_runs_and_partitionings(spark):
 def test_kmeans_empty_cluster_carries_seed_forward(spark):
     from text_extract_api_spark.functions.clustering import kmeans_assign
 
-    # seeds = vecs 0 and 1; every point is closest to seed 0's region, so
-    # cluster 1 goes empty after iteration 1 — must not crash or produce
-    # NULL centroids; all points stay in cluster 0
-    vecs = [[0.0, 0.0], [0.2, 0.0], [0.01, 0.0], [0.02, 0.0], [0.03, 0.0]]
-    out = kmeans_assign(_emb_df(spark, vecs), k=2, iters=2).collect()
-    assert all(r.cluster in (0, 1) for r in out)
-    assert all(r.dist_r is not None for r in out)
+    # hash-spread seeds for ids 0..4 are vecs 4 and 1 (md5-id order);
+    # making those two vectors IDENTICAL forces every assignment to tie —
+    # ties go to the lower centroid index, so cluster 1 is empty from
+    # round 1 and must carry its seed forward (no crash, no NULL centroid)
+    vecs = [[0.01, 0.0], [0.0, 0.0], [0.02, 0.0], [0.03, 0.0], [0.0, 0.0]]
+    out = {r.vec_id: r for r in kmeans_assign(_emb_df(spark, vecs), k=2, iters=2).collect()}
+    assert all(r.cluster in (0, 1) and r.dist_r is not None for r in out.values())
+    # round 2 proves the carry: the duplicate vectors sit at distance 0
+    # from the CARRIED seed [0,0] (cluster 1's mean never updated) and are
+    # won back from cluster 0's drifted mean — NULL centroids would crash
+    assert out[1].cluster == 1 and out[1].dist_r == 0.0
+    assert out[4].cluster == 1 and out[4].dist_r == 0.0
 
 
 def test_semdedup_flags_within_cluster_near_dups_only(spark):

@@ -331,7 +331,20 @@ def kmeans_assign(
     # partitions (a real cluster's scan already has splits — the
     # repartition stays correct there, just redundant)
     base = base.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
-    seed_rows = base.orderBy("vec_id").limit(k).collect()  # k rows, tiny
+    # HASH-SPREAD seeding: the k vectors with the lowest md5(vec_id) — a
+    # deterministic uniform sample of the corpus (no RNG, restart-stable,
+    # same rows on both engines). Seeding by lowest RAW id is a measured
+    # pathology: on id-correlated corpora (sorted dumps, replicated
+    # batches) the k lowest ids sit in a few embedding-space locations, a
+    # handful of mega-cells capture everything, and the downstream
+    # Σ|cell|² verify goes quadratic — the ×64 scale probe hit exactly
+    # this (769 s vs 8.5 s/×16 with spread seeds). Hashing the id
+    # decorrelates seed choice from id layout; vec_id breaks md5 ties.
+    seed_rows = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )  # k rows, tiny
     cents = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
     if not cents:
         # empty corpus: no seeds exist, and _assign_col([]) would emit an
