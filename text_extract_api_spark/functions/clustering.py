@@ -468,8 +468,8 @@ def semdedup(
     k ∝ n / target_cell (SemDeDup uses ~0.1% of n; 10^9 vectors → k=10^5
     keeps cells at ~10^4 rows). ``cell_arrow=True`` (default) runs the
     verify as ONE cell-local Arrow stage (_semdedup_cells — no pair rows
-    ever materialize; measured ×16-corpus probe: 309 s join-form → see
-    BENCH notes for the cell-form number); ``cell_arrow=False`` keeps the
+    ever materialize; measured ×16-corpus probe: 309 s join-form →
+    0.9-2.8 s cell-form, BENCH/QUIET_R4.md wave-2 section); ``cell_arrow=False`` keeps the
     equi-join + interpreted-HOF-dot form, bit-identical by construction
     (the cell kernel replays the JVM fold order), as the oracle-twin
     reference. The same fixed hyperplane trick as embedding_neardup_pairs
