@@ -572,6 +572,56 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """.strip()
 
 
+def _bpe_merges_sql() -> str:
+    """bpe_train_merges oracle: the merge rounds unrolled as CTE layers
+    (kmeans-oracle pattern). The symbol string is built by wrapping every
+    char in chr(31) via one global regex, merges apply as the same
+    boundary-delimited replace(), and each round's winner is the same
+    (count DESC, left, right) total order — integer counts, no float
+    anywhere."""
+    from text_extract_api_spark.functions.textstats import BPE_N_MERGES
+
+    sep = "chr(31)"
+    parts = [
+        f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE word <> '' GROUP BY word
+),
+s0 AS (
+  SELECT regexp_replace(word, '(.)', {sep}||'\\1'||{sep}, 'g')
+           || {sep}||'</w>'||{sep} AS s,
+         cnt
+  FROM words
+)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT y[i] AS l, y[i + 1] AS r, SUM(cnt) AS c FROM (
+    SELECT cnt, y, unnest(range(1, len(y))) AS i FROM (
+      SELECT cnt, string_split(trim(s, {sep}), {sep}||{sep}) AS y FROM s{r - 1}
+    ) WHERE len(y) >= 2
+  ) GROUP BY 1, 2
+),
+m{r} AS (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+s{r} AS (
+  SELECT replace(s, {sep}||l||{sep}||{sep}||r||{sep}, {sep}||l||r||{sep}) AS s,
+         cnt
+  FROM s{r - 1} CROSS JOIN m{r}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS merge_left,"
+        f" r AS merge_right, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, BPE_N_MERGES + 1)
+    )
+    return ("".join(parts) + "\n" + unions).strip()
+
+
 def _unigram_logppl_sql() -> str:
     """unigram_logppl oracle: identical LM training (Laplace over the same
     tokenization), per-token log-probs quantized to BIGINT micro-nats
@@ -2520,6 +2570,15 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(_docs(spark, sf_dir))
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016): the corpus
+    is aggregated to word counts once; every merge round runs over the
+    VOCABULARY table with a 1-row driver collect (kmeans pattern)."""
+    from text_extract_api_spark.functions.textstats import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir))
+
+
 def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity signal (Wenzek et al. 2020) under a
     corpus-trained Laplace unigram LM; per-token log-probs quantized to
@@ -3053,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_logppl": q_quality_unigram_logppl,
         "corpus_datacard": q_corpus_datacard,
         "neardup_keep_best": q_neardup_keep_best,
+        "bpe_train_merges": q_bpe_train_merges,
         "quality_gopher_rules": q_quality_gopher_rules,
         "dedup_intradoc": q_dedup_intradoc,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -3097,10 +3157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "corpus_filter_funnel": q_corpus_filter_funnel,
-        "ann_batch_topk": q_ann_batch_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # --- 51+: long-stable (green r2 AND r3, code unchanged) ------------
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extraction_metrics_rollup": q_extraction_metrics_rollup,
@@ -3357,6 +3417,7 @@ HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         "prune_prototypes": _prototypes_sql(),
         "dedup_substrings": _substring_dup_sql(),
         "quality_unigram_logppl": _unigram_logppl_sql(),
+        "bpe_train_merges": _bpe_merges_sql(),
         "quality_gopher_rules": _gopher_sql(),
         "dedup_intradoc": f"WITH {SYNTH_CTE},\n" + _intradoc_sql(),
         "dedup_exact_payload": f"WITH {SYNTH_CTE},\n"

@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_unigram_logppl",
     "corpus_datacard",
     "neardup_keep_best",
+    "bpe_train_merges",
     "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",

@@ -443,3 +443,45 @@ def test_mix_weights_hits_target_shares(spark, sf_dir):
         w = by[lang]["weight_x10k"] / 10000.0
         achieved = w * by[lang]["total_tokens"] / total
         assert abs(achieved - ppm / 1e6) < 0.001
+
+
+def test_bpe_train_merges_textbook_example(spark):
+    """Sennrich et al.'s classic low/lower family: merges and counts are
+    hand-checkable, including two lexicographic tie-breaks."""
+    from text_extract_api_spark.functions.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "low lower newer newer"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.merge_left, r.merge_right, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (1, "l", "o", 7),        # ties (l,o)=(o,w)=7 -> lexicographic
+        (2, "lo", "w", 7),
+        (3, "e", "r", 4),        # ties (e,r)=(low,</w>)=4 -> 'e' < 'low'
+        (4, "er", "</w>", 4),
+        (5, "low", "</w>", 4),
+    ]
+
+
+def test_bpe_merge_application_is_nonoverlapping_left_to_right(spark):
+    """[a,a,a,a] must merge to [aa,aa] and [a,a,a] to [aa,a] — the
+    boundary-delimited replace reproduces BPE's scan order; a symbol whose
+    TAIL equals the merge left side must not match across boundaries."""
+    from text_extract_api_spark.functions.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.merge_left, r.merge_right, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    # round 1: (a,a) count = 3+3+2 = 8
+    assert got[0] == (1, "a", "a", 8)
+    # round 2 on [aa,aa,</w>]x2 + [aa,a,</w>]: (aa,aa)=2, (aa,a)=1,
+    # (aa,</w>)=2, (a,</w>)=1 -> tie (aa,aa) vs (aa,</w>) -> '</w>' < 'aa'
+    assert got[1] == (2, "aa", "</w>", 2)

@@ -287,3 +287,114 @@ def tfidf_topk_terms(docs, k: int = 5):
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ------------------------------------------------------------- BPE training
+BPE_N_MERGES = 4
+_SEP = "\x1f"  # unit separator: cannot appear in whitespace-split tokens
+_EOW = "</w>"  # Sennrich end-of-word marker (a single symbol)
+
+
+def _sym_str_col(word: Column) -> Column:
+    """A word as its boundary-delimited symbol string:
+    ``␟c1␟␟c2␟…␟cn␟␟</w>␟`` — every symbol wrapped in ␟…␟, symbols joined
+    back-to-back. The wrapping makes the merge step a plain string
+    replace: the pattern ``␟left␟␟right␟`` can only match at a symbol
+    boundary (a bare ``left␟␟right`` would also match the TAIL of a
+    longer first symbol), and replace()'s left-to-right non-overlapping
+    scan IS the BPE merge-application order — [a,a,a] merges to [aa,a],
+    [a,a,a,a] to [aa,aa] — identically in Spark and DuckDB, with no
+    per-element lambda at all."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.concat(F.lit(_SEP), word.substr(i, F.lit(1)), F.lit(_SEP)),
+    )
+    return F.concat(
+        F.concat_ws("", chars), F.lit(_SEP + _EOW + _SEP)
+    )
+
+
+def bpe_train_merges(
+    docs,
+    n_merges: int = BPE_N_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Learn the top-``n_merges`` BPE merge rules from the corpus
+    (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+    Words with Subword Units" — word-level BPE with an end-of-word
+    marker). Returns (merge_rank, merge_left, merge_right, pair_count):
+    rank-r is the symbol pair with the highest corpus count AFTER the
+    first r-1 merges were applied, ties broken lexicographically.
+
+    Scale design (the Sennrich construction is what makes this
+    distributable): the corpus is touched ONCE — the word-count
+    aggregation (map-side combined; the exchange carries the
+    vocabulary, not the token stream). Every merge round then runs over
+    the VOCABULARY table: a row-local pair explode weighted by word
+    count, one bounded groupBy(left,right) exchange, a 1-row TakeOrdered
+    to the driver (the per-round centroid-collect pattern from
+    kmeans_assign), and a row-local string replace applying the merge.
+    Driver state per round = one pair. Merge application is the
+    boundary-delimited replace (see _sym_str_col) — bit-identical
+    semantics on both engines, no interpreted per-element lambda.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("s", _sym_str_col(F.col("word")))
+        .select("s", "cnt")
+        .localCheckpoint()  # vocab-sized; each round re-reads it
+    )
+    sep2 = _SEP + _SEP
+    out_rows = []
+    cur = words
+    for rank in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr(f"trim(BOTH '{_SEP}' FROM s)"), sep2, -1
+        )
+        pairs = (
+            cur.select(F.col("cnt"), syms.alias("y"))
+            .filter(F.size("y") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("y") - 1),
+                        lambda i: F.struct(
+                            F.element_at("y", i).alias("l"),
+                            F.element_at("y", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # exactly one row per round
+        )
+        if not pairs:
+            break
+        l, r, c = pairs[0]["l"], pairs[0]["r"], pairs[0]["c"]
+        out_rows.append((rank, l, r, c))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(_SEP + l + sep2 + r + _SEP),
+                F.lit(_SEP + l + r + _SEP),
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, merge_left string, merge_right string, pair_count bigint",
+    )
