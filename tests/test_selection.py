@@ -1,0 +1,119 @@
+"""DSIR importance selection, CCNet buckets, and phash near-dup tests."""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from text_extract_api_spark.extractors.media import (
+    PHASH_BITS,
+    PHASH_MAX_HAMMING,
+    phash_neardups,
+)
+from text_extract_api_spark.functions.quality import ccnet_buckets
+from text_extract_api_spark.functions.selection import dsir_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_orders_target_like_above_raw_like(spark):
+    # Target vocabulary is disjoint from raw vocabulary, so a raw doc written
+    # in target words must outscore a raw doc written in raw words, and the
+    # mixed doc must land between them.
+    target = [(i, "alpha beta gamma delta", "tgt") for i in range(4)]
+    raw = [
+        (10, "alpha beta gamma delta", "raw"),  # pure target-like
+        (11, "alpha beta noise noise", "raw"),  # mixed
+        (12, "noise words only here", "raw"),  # pure raw-like
+        (13, "   ", "raw"),  # token-less
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(
+            _docs(spark, target + raw), F.col("source") == "tgt"
+        ).collect()
+    }
+    assert out[10]["dsir_score"] > out[11]["dsir_score"] > out[12]["dsir_score"]
+    # target docs are never selected, whatever they score
+    assert all(not out[i]["selected"] for i in range(4))
+    assert all(out[i]["is_target"] for i in range(4))
+    # τ=0: more-target-like-than-raw-like ⇒ selected
+    assert out[10]["selected"] is True
+    assert out[12]["selected"] is False
+    # token-less: score 0.0, never selected, still present in the output
+    assert out[13]["n_tokens"] == 0
+    assert out[13]["dsir_score"] == 0.0
+    assert out[13]["selected"] is False
+    assert len(out) == 8
+
+
+def test_ccnet_buckets_terciles_and_empty(spark):
+    # 9 docs in one lang: repeated common words = low perplexity (head);
+    # distinct rare words = high (tail). Plus an empty doc -> 'empty'.
+    rows = []
+    for i in range(3):
+        rows.append((i, "the the the the", "en"))  # most typical
+    for i in range(3, 6):
+        rows.append((i, "the cat sat", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"zxq{i} wvu{i} rst{i}", "en"))  # all-singleton words
+    rows.append((9, " ", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 10
+    assert out[9]["ppl_bucket"] == "empty"
+    assert {out[i]["ppl_bucket"] for i in range(3)} == {"head"}
+    assert {out[i]["ppl_bucket"] for i in range(6, 9)} == {"tail"}
+    # every non-empty doc got a real bucket
+    assert all(
+        out[i]["ppl_bucket"] in ("head", "middle", "tail") for i in range(9)
+    )
+
+
+def _phash(payload: bytes) -> str:
+    h = hashlib.md5(payload).hexdigest()
+    return "".join("1" if h[b] in "89abcdef" else "0" for b in range(PHASH_BITS))
+
+
+def test_phash_neardups_matches_bruteforce(spark):
+    # 60 distinct payloads + byte-identical duplicates of the first 10.
+    payloads = [f"img-{i}".encode() for i in range(60)]
+    rows = [(f"m{i}", 1, p) for i, p in enumerate(payloads)]
+    rows += [(f"dup{i}", 2, payloads[i]) for i in range(10)]
+    media = spark.createDataFrame(
+        rows, "media_ref string, page_no int, payload binary"
+    )
+    got = {
+        (r["ref_a"], r["page_a"], r["ref_b"], r["page_b"], r["hamming"])
+        for r in phash_neardups(media).collect()
+    }
+    # Brute force over distinct payloads: representative = lexicographic min
+    # (media_ref, page_no) per payload; pairs ordered by md5.
+    reps = {}
+    for ref, page, p in rows:
+        h = hashlib.md5(p).hexdigest()
+        if h not in reps or (ref, page) < reps[h][:2]:
+            reps[h] = (ref, page, _phash(p))
+    want = set()
+    items = sorted(reps.items())  # ordered by md5 hex = the h_a < h_b order
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (_, (ra, pa, sa)), (_, (rb, pb, sb)) = items[i], items[j]
+            d = sum(x != y for x, y in zip(sa, sb))
+            if d <= PHASH_MAX_HAMMING:
+                want.add((ra, pa, rb, pb, d))
+    assert want, "test corpus must contain near-dup pairs"
+    # banding recall is exact for hamming <= 3 (pigeonhole over 4 bands)
+    assert got == want
+
+
+def test_phash_exact_dups_collapse_to_one_rep(spark):
+    # Two byte-identical payloads never emit a pair (hamming 0 is a
+    # duplicate, not a near-duplicate pair between distinct payloads).
+    media = spark.createDataFrame(
+        [("a", 1, b"same"), ("b", 1, b"same")],
+        "media_ref string, page_no int, payload binary",
+    )
+    assert phash_neardups(media).count() == 0

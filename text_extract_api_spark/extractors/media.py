@@ -352,3 +352,121 @@ def sample_frames(
     return df.select("media_ref", "page_no", "payload").mapInPandas(
         op, FRAME_SAMPLE_SCHEMA
     )
+
+
+# ------------------------------------------------ perceptual-hash near-dup
+PHASH_BITS = 16
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3  # < PHASH_BANDS ⇒ banding has exact recall (pigeonhole)
+
+
+def phash_bits_col(payload_md5):
+    """16-bit perceptual-hash signature as a '0'/'1' string, derived from the
+    payload digest. STUB for a DCT perceptual hash: the real kernel (decode →
+    grayscale → 32×32 DCT → top-left 8×8 sign bits) is an Arrow batch inside
+    the same ``mapInPandas`` seam as :func:`decode_image` — env-blocked here
+    (no codecs in the container), so bit b instead comes from hex digit b of
+    md5(payload) (1 iff the digit's top bit is set). Every distributed
+    property the real kernel needs — row-local signature extraction, banded
+    candidate join, row-local Hamming verify — is exercised on real values,
+    and the DuckDB oracle reproduces the signature bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        *[
+            F.when(
+                F.substring(payload_md5, b + 1, 1).isin(*list("89abcdef")),
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for b in range(PHASH_BITS)
+        ]
+    )
+
+
+def phash_neardups(df: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal leg of the dedup suite (text analog: dedup.simhash).
+
+    (media_ref, page_no, payload) → (ref_a, page_a, ref_b, page_b, hamming):
+    one row per unordered pair of DISTINCT payloads whose signatures differ
+    in ≤ ``max_hamming`` of the 16 bits; each side is represented by the
+    lexicographically smallest (media_ref, page_no) carrying that payload.
+
+    Scale design (100 TB of images):
+    - Exact duplicates collapse FIRST (groupBy payload digest) — byte-equal
+      images are the overwhelming dup mode at web scale and would otherwise
+      make every banding bucket a hot key. One shuffle on md5.
+    - Candidates come from an equi-join on (band_no, band_bits): the
+      signature splits into ``PHASH_BANDS`` contiguous bands; two signatures
+      within Hamming ``max_hamming < PHASH_BANDS`` must agree on at least
+      one whole band (pigeonhole), so band recall is EXACT, not
+      probabilistic — the DuckDB oracle brute-forces all pairs and must
+      match bit-for-bit. One shuffle per side on the band key.
+    - The Hamming verify is a row-local 16-term codegen sum; a pair matching
+      several bands is collapsed by one distinct on the pair key.
+    - Real-phash deployment note: 64-bit signatures / 16-bit bands keep
+      bucket sizes content-clustered rather than uniform; the stub's 16-bit
+      space is scaled down so near-pairs exist in the small test corpora.
+    """
+    from pyspark.sql import functions as F
+
+    sig = df.select(
+        "media_ref", "page_no", F.md5(F.col("payload")).alias("h")
+    )
+    reps = (
+        sig.groupBy("h")
+        .agg(F.min(F.struct("media_ref", "page_no")).alias("rep"))
+        .select(
+            "h",
+            F.col("rep.media_ref").alias("media_ref"),
+            F.col("rep.page_no").alias("page_no"),
+            phash_bits_col(F.col("h")).alias("sig"),
+        )
+    )
+    band_w = PHASH_BITS // PHASH_BANDS
+    bands = reps.select(
+        "h",
+        "media_ref",
+        "page_no",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.substring("sig", b * band_w + 1, band_w).alias(
+                            "band_bits"
+                        ),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("h", "media_ref", "page_no", "sig", "band.band_no", "band.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.sig"), i + 1, 1)
+            == F.substring(F.col("b.sig"), i + 1, 1),
+            F.lit(0),
+        ).otherwise(F.lit(1))
+        for i in range(PHASH_BITS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("a.page_no").alias("page_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.col("b.page_no").alias("page_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

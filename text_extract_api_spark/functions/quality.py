@@ -551,3 +551,68 @@ def unigram_logppl(
             ).alias("logppl"),
         )
     )
+
+
+# ------------------------------------------------- CCNet perplexity buckets
+CCNET_BUCKET_P1 = 1.0 / 3.0
+CCNET_BUCKET_P2 = 2.0 / 3.0
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al., LREC 2020,
+    §4.4): within each language, rank documents by LM perplexity and cut the
+    distribution into terciles — "head" (lowest perplexity = most fluent,
+    kept for high-quality mixes), "middle", "tail". The LM is the same
+    corpus-trained Laplace unigram model as :func:`unigram_logppl` (the
+    KenLM stand-in — no model binaries in this environment; the plan shape
+    is identical: score every doc against a broadcast/joined LM table, then
+    bucket against per-language thresholds).
+
+    Returns (doc_id, lang, n_tokens, logppl, ppl_bucket) for EVERY document;
+    token-less docs get bucket 'empty' (they carry no LM evidence and CCNet
+    drops them before bucketing).
+
+    Determinism: thresholds are exact interpolated percentiles of the
+    6-dp-rounded logppl values, rounded to 6 dp with the same +1e-9 epsilon
+    discipline as ``length_quantiles`` — both engines compare identical
+    doubles against identical thresholds. Interpolated cut points fall
+    strictly between adjacent order statistics, so a 1-ulp interpolation
+    difference can never flip a document's bucket.
+
+    Scale design: logppl's four bounded shuffles, plus ONE extra
+    groupBy(lang) over a narrow (lang, logppl) projection for the
+    thresholds. The threshold table has one row per language — bounded by
+    language cardinality, not corpus size — so it broadcasts. Exact
+    percentiles need a language's logppl doubles co-resident (8 B × docs
+    per language); at 100 TB swap ``percentile_approx`` exactly as
+    ``length_quantiles(approx=True)`` does (same mergeable-sketch argument,
+    same bounded-error pytest pattern).
+    """
+    ppl = unigram_logppl(docs, id_col=id_col, text_col=text_col)
+    scored = ppl.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    eps = F.lit(1e-9)
+    thresholds = (
+        scored.filter(F.col("n_tokens") > 0)
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile("logppl", CCNET_BUCKET_P1) + eps, 6).alias("t1"),
+            F.round(F.percentile("logppl", CCNET_BUCKET_P2) + eps, 6).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(F.col("logppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("logppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(thresholds), "lang", "left").select(
+        "doc_id", "lang", "n_tokens", "logppl", bucket.alias("ppl_bucket")
+    )

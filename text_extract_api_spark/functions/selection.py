@@ -1,0 +1,200 @@
+"""Targeted data selection — DSIR importance weighting over hashed n-grams.
+
+Not in the reference (single-document service); mandated by the build
+contract's training-data-pipeline scope. Implements the scoring core of
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+arXiv:2302.03169): fit two bag-of-hashed-ngrams multinomial distributions —
+one on a small "target" corpus (the domain you want more of, e.g. wiki-like
+text) and one on the raw pool — then weight every raw document by the
+log-likelihood ratio of its features under target vs raw. Documents whose
+text "looks like" the target domain score high and get selected.
+
+Determinism contract (engine parity): the per-bucket log-ratio is quantized
+to BIGINT micro-nats (round(ln(pt/pr) × 1e6)) BEFORE the per-document sum,
+so document scores accumulate in exact integer arithmetic — Spark's
+partition-order double summation can never drift from DuckDB's sequential
+fold. Feature hashing is the engine-portable md5-u32 (`hash_u32_col`), the
+same primitive the sampling ops use, so the oracle reproduces bucket
+assignment bit-for-bit.
+
+Scale design (100 TB): the feature space is CAPPED at ``n_buckets``
+(hashing trick), so the learned log-ratio table is bounded by config — it
+broadcasts by construction, unlike a raw vocabulary table (which is
+corpus-scaled and must merge-join; cf. quality.unigram_logppl). Plan:
+explode → two bounded groupBys (map-side combine collapses repeated
+buckets) → one-row totals broadcast → broadcast-join of the ≤n_buckets
+ratio table onto per-doc term frequencies → per-doc agg. No window, no
+global sort: selection is a fixed log-ratio threshold (score ≥ τ), not a
+corpus-wide top-k, so the decision is row-local after the score exists.
+(DSIR's Gumbel-noise resampling step is replaced by the deterministic
+threshold form — this engine bans RNG in sampling decisions so resumed
+runs keep identical rows; see functions/sampling.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import hash_u32_col, hash_u32_sql
+from .textstats import WS_SPLIT
+
+DSIR_BUCKETS = 1024  # hashed-feature space; fixed by config, never corpus-scaled
+DSIR_SCALE = 1_000_000  # micro-nats quantization (same convention as LOGP_SCALE)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    tau: float = 0.0,
+) -> DataFrame:
+    """(doc_id, is_target, n_tokens, dsir_score, selected) for EVERY input
+    document.
+
+    ``dsir_score`` = mean per-token log-likelihood ratio (nats) of the
+    document's hashed unigram features under the target vs raw Laplace-
+    smoothed multinomials. ``selected`` marks raw-pool documents whose
+    score clears ``tau`` (τ=0 ⇒ "more target-like than raw-like").
+    Target documents are never selected (they're already in the target
+    set); token-less documents score 0.0 and are not selected.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        target_pred.alias("is_target"),
+    )
+    toks = base.filter(F.length(F.trim(F.col("_text"))) > 0).select(
+        "doc_id",
+        "is_target",
+        F.explode(F.split(F.trim(F.lower(F.col("_text"))), WS_SPLIT)).alias("word"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "is_target",
+        (hash_u32_col(F.col("word"), salt) % n_buckets).alias("bucket"),
+    )
+    tf = feats.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count("*").alias("tf")
+    )
+    # Per-side bucket counts: ≤ n_buckets rows by construction (hashing trick),
+    # so this table — unlike a raw vocabulary — is ALWAYS broadcastable.
+    bucket_counts = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("t_cnt"),
+        F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("r_cnt"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("t_cnt").cast("bigint").alias("t_total"),
+        F.sum("r_cnt").cast("bigint").alias("r_total"),
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    logratio = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("t_cnt") + F.lit(1)).cast("double")
+                    / (F.col("t_total") + b).cast("double")
+                )
+                - F.log(
+                    (F.col("r_cnt") + F.lit(1)).cast("double")
+                    / (F.col("r_total") + b).cast("double")
+                )
+            )
+            * F.lit(float(DSIR_SCALE)),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_u"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(logratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_u")).alias("llr_u"),
+        )
+    )
+    score = F.coalesce(
+        F.round(
+            F.col("llr_u").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(DSIR_SCALE))),
+            6,
+        ),
+        F.lit(0.0),  # engine-wide rule: float output columns are never NULL
+    )
+    # NULL-free n_tokens (docs absent from per_doc are token-less): the
+    # selected predicate must see 0, not NULL — NULL > 0 is NULL in Spark
+    # but the oracle's COALESCE form yields false.
+    ntok = F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
+    return (
+        base.select("doc_id", "is_target")
+        # per_doc is one row per non-empty doc — corpus-scaled, never
+        # statically broadcastable
+        .join(per_doc.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            ntok.alias("n_tokens"),
+            score.alias("dsir_score"),
+            (
+                (~F.col("is_target")) & (ntok > 0) & (score >= F.lit(tau))
+            ).alias("selected"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    target_pred_sql: str,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    tau: float = 0.0,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`dsir_scores` — identical hashing, Laplace
+    smoothing, and micro-nat quantization."""
+    u = hash_u32_sql("word", salt)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ({target_pred_sql}) AS is_target,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+  FROM {table} WHERE length(trim(text)) > 0
+),
+feats AS (SELECT doc_id, is_target, ({u}) % {n_buckets} AS bucket FROM toks),
+tf AS (SELECT doc_id, is_target, bucket, COUNT(*) AS tf FROM feats GROUP BY 1, 2, 3),
+bc AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE tf END) AS BIGINT) AS r_cnt
+  FROM tf GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_total,
+               CAST(SUM(r_cnt) AS BIGINT) AS r_total FROM bc),
+lr AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_total + {n_buckets} AS DOUBLE))
+                   - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_total + {n_buckets} AS DOUBLE)))
+                    * {DSIR_SCALE}.0, 0) AS BIGINT) AS lr_u
+  FROM bc CROSS JOIN tot
+),
+per_doc AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         SUM(tf.tf * lr.lr_u) AS llr_u
+  FROM tf JOIN lr USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, ({target_pred_sql}) AS is_target,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(round(CAST(p.llr_u AS DOUBLE)
+             / (CAST(p.n_tokens AS DOUBLE) * {DSIR_SCALE}.0), 6), 0.0) AS dsir_score,
+       (NOT ({target_pred_sql})) AND COALESCE(p.n_tokens, 0) > 0
+         AND COALESCE(round(CAST(p.llr_u AS DOUBLE)
+             / (CAST(p.n_tokens AS DOUBLE) * {DSIR_SCALE}.0), 6), 0.0) >= {tau}
+         AS selected
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+""".strip()
