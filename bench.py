@@ -44,6 +44,9 @@ HEADLINE = [
     "prune_prototypes",
     "dedup_substrings",
     "quality_unigram_logppl",
+    "ccnet_ppl_buckets",
+    "dsir_select",
+    "media_phash_neardup",
     "corpus_datacard",
     "neardup_keep_best",
     "bpe_train_merges",

@@ -53,6 +53,22 @@ BOUNDS = {
     # score join (AQE runtime-reuses the identical exchange, tfidf lesson)
     # + vocab/totals aggs + merge-hinted LM and doc-spine joins
     "quality_unigram_logppl": (13, 0, 0, True),
+    # 12 STATIC: the hashed-feature tf subtree appears under both the
+    # bucket-count chain and the score join (AQE reuse); the ≤DSIR_BUCKETS
+    # log-ratio table and one-row totals are the 2 broadcasts — never a
+    # corpus-scaled side
+    "dsir_select": (12, 0, 0, True),
+    # 29 STATIC: the full logppl chain replays under the threshold branch
+    # AND the final bucket join (identical exchanges → AQE reuse, same
+    # pattern as quality_unigram_logppl's 13); the per-language threshold
+    # table rides one of the 5 broadcasts
+    "ccnet_ppl_buckets": (29, 0, 0, True),
+    # 15 STATIC: synth scaffolding that BUILDS the interleaved table
+    # locally replays under both self-join sides (AQE reuse; production
+    # reads the Iceberg media table directly); the operator's own
+    # exchanges are the reps groupBy(h), the band equi-join, and the
+    # pair distinct
+    "media_phash_neardup": (15, 0, 0, True),
     # 1 = the input-split repartition; the rules themselves are row-local
     "quality_gopher_rules": (1, 0, 0, False),
     # 2 = repartition + the single strata-sized groupBy(lang, source);
