@@ -572,15 +572,13 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """.strip()
 
 
-def _bpe_merges_sql() -> str:
-    """bpe_train_merges oracle: the merge rounds unrolled as CTE layers
-    (kmeans-oracle pattern). The symbol string is built by wrapping every
-    char in chr(31) via one global regex, merges apply as the same
-    boundary-delimited replace(), and each round's winner is the same
-    (count DESC, left, right) total order — integer counts, no float
-    anywhere."""
-    from text_extract_api_spark.functions.textstats import BPE_N_MERGES
-
+def _bpe_cte_prefix(n_merges: int) -> str:
+    """Shared CTE chain for the BPE oracles: corpus word counts, symbol
+    strings, and the unrolled merge rounds m1..mN (kmeans-oracle pattern).
+    The symbol string wraps every char in chr(31) via one global regex;
+    merges apply as the boundary-delimited replace(); each round's winner
+    is the (count DESC, left, right) total order — integer counts, no
+    float anywhere."""
     sep = "chr(31)"
     parts = [
         f"""
@@ -597,7 +595,7 @@ s0 AS (
   FROM words
 )"""
     ]
-    for r in range(1, BPE_N_MERGES + 1):
+    for r in range(1, n_merges + 1):
         parts.append(
             f""",
 p{r} AS (
@@ -614,12 +612,66 @@ s{r} AS (
   FROM s{r - 1} CROSS JOIN m{r}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    """bpe_train_merges oracle: the shared CTE prefix's per-round winners."""
+    from text_extract_api_spark.functions.textstats import BPE_N_MERGES
+
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, l AS merge_left,"
         f" r AS merge_right, CAST(c AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, BPE_N_MERGES + 1)
     )
-    return ("".join(parts) + "\n" + unions).strip()
+    return (_bpe_cte_prefix(BPE_N_MERGES) + "\n" + unions).strip()
+
+
+def _bpe_apply_sql() -> str:
+    """bpe_apply oracle: the shared training prefix (m1..mN are the learned
+    merges), then every document encoded as the space-joined word symbol
+    stream with each round's merge applied by the same boundary-delimited
+    replace — rank-r's rule is a scalar from CTE m{r}. Token count =
+    chr(31)chr(31) boundary count + word count via a length difference;
+    md5 of the final stream is the strong value check."""
+    from text_extract_api_spark.functions.textstats import BPE_N_MERGES
+
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    wlist = (
+        "list_filter(regexp_split_to_array(trim(lower(text)),"
+        " '[ \\t\\r\\n]+'), w -> w <> '')"
+    )
+    enc_layers = [
+        f""",
+e0 AS (
+  SELECT doc_id,
+         array_to_string(list_transform({wlist},
+           w -> regexp_replace(w, '(.)', {sep}||'\\1'||{sep}, 'g')
+                || {sep}||'</w>'||{sep}), ' ') AS e,
+         len({wlist}) AS n_words
+  FROM documents
+)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        enc_layers.append(
+            f""",
+e{r} AS (
+  SELECT doc_id, n_words,
+         replace(e, {sep}||l||{sep2}||r||{sep}, {sep}||l||r||{sep}) AS e
+  FROM e{r - 1} CROSS JOIN m{r}
+)"""
+        )
+    tail = f"""
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST((length(e) - length(replace(e, {sep2}, ''))) // 2 + n_words
+            AS BIGINT) AS n_bpe_tokens,
+       md5(e) AS enc_md5
+FROM e{BPE_N_MERGES}
+""".rstrip()
+    return (
+        _bpe_cte_prefix(BPE_N_MERGES) + "".join(enc_layers) + "\n" + tail
+    ).strip()
 
 
 def _unigram_logppl_sql() -> str:
@@ -2676,6 +2728,16 @@ def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges (the apply half of
+    the Sennrich 2016 loop): per-doc subword token counts + md5 of the
+    encoded symbol stream. Merge table = driver-side literals (bounded by
+    BPE_N_MERGES); the encode itself is row-local, zero shuffles."""
+    from text_extract_api_spark.functions.textstats import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir))
+
+
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): per-
     language perplexity terciles over the corpus-trained unigram LM.
@@ -3228,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "media_phash_neardup": q_media_phash_neardup,
+        "bpe_apply": q_bpe_apply,
         "quality_c4_rules": q_quality_c4_rules,
         "semdedup_kmeans": q_semdedup_kmeans,
         "prune_prototypes": q_prune_prototypes,
@@ -3538,6 +3601,7 @@ GROUP BY 1, 2
 HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """.strip(),
         "dsir_select": dsir_scores_sql("source = 'src1'"),
+        "bpe_apply": _bpe_apply_sql(),
         "ccnet_ppl_buckets": _ccnet_buckets_sql(),
         "media_phash_neardup": _phash_neardup_sql(),
         "quality_c4_rules": _c4_sql(),

@@ -50,6 +50,7 @@ HEADLINE = [
     "corpus_datacard",
     "neardup_keep_best",
     "bpe_train_merges",
+    "bpe_apply",
     "dedup_intradoc",
     "decontaminate_ngrams",
     "dedup_paragraphs",

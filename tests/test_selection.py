@@ -117,3 +117,36 @@ def test_phash_exact_dups_collapse_to_one_rep(spark):
         "media_ref string, page_no int, payload binary",
     )
     assert phash_neardups(media).count() == 0
+
+
+def test_bpe_apply_hand_cases(spark):
+    from text_extract_api_spark.functions.textstats import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa"), (3, "  ")], "doc_id long, text string"
+    )
+    # rank 1 merges (a,a); rank 2 cascades onto its output: (aa,</w>)
+    out = {
+        r["doc_id"]: r
+        for r in bpe_apply(docs, merges=[("a", "a"), ("aa", "</w>")]).collect()
+    }
+    # "aa": [a,a,</w>] -> [aa,</w>] -> [aa</w>] = 1 token
+    # "ab": [a,b,</w>] untouched = 3 tokens
+    assert out[1]["n_words"] == 2 and out[1]["n_bpe_tokens"] == 4
+    assert out[2]["n_words"] == 1 and out[2]["n_bpe_tokens"] == 1
+    # whitespace-only doc: zero words, zero tokens, md5 of empty stream
+    assert out[3]["n_words"] == 0 and out[3]["n_bpe_tokens"] == 0
+    assert out[3]["enc_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_bpe_apply_trained_merges_reduce_token_count(spark):
+    from text_extract_api_spark.functions.textstats import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(4)], "doc_id long, text string"
+    )
+    with_merges = bpe_apply(docs)  # trains on the corpus itself
+    without = bpe_apply(docs, merges=[])
+    n_with = sum(r["n_bpe_tokens"] for r in with_merges.collect())
+    n_without = sum(r["n_bpe_tokens"] for r in without.collect())
+    assert n_with < n_without

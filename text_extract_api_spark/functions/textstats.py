@@ -398,3 +398,71 @@ def bpe_train_merges(
         out_rows,
         "merge_rank int, merge_left string, merge_right string, pair_count bigint",
     )
+
+
+def bpe_apply(
+    docs,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = BPE_N_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Encode every document with the trained BPE merge table — the apply
+    half of the tokenizer loop (:func:`bpe_train_merges` learns the rules;
+    this tokenizes the corpus with them, the pass a training pipeline runs
+    to produce token counts/budgets per document).
+
+    Returns (doc_id, n_words, n_bpe_tokens, enc_md5): subword token count
+    after applying the merges in rank order, plus md5 of the full encoded
+    symbol stream — the strong value check (any divergence in ANY
+    document's tokenization changes the digest).
+
+    ``merges`` defaults to training on ``docs`` itself (the 1-row-per-round
+    driver collect documented in bpe_train_merges — bounded by config).
+
+    Mechanics: each word becomes the boundary-delimited symbol string
+    (``_sym_str_col``); words join with a plain space, which can never be
+    part of a ``␟…␟`` symbol, so a merge replace cannot cross a word
+    boundary. Applying rank-r's merge is ONE literal string replace over
+    the whole document — replace()'s left-to-right non-overlapping scan is
+    exactly BPE's within-word merge order, identical in Spark and DuckDB.
+    Token count = ``␟␟`` boundary count + word count, recovered by a
+    length difference (no split, no explode).
+
+    Scale: entirely row-local — zero shuffles, output inherits input
+    partitioning; the merge table is driver-side literals (config-bounded,
+    the kmeans-centroid pattern), never a joined side. The per-word
+    symbol-string build is the one interpreted-HOF lambda; at 100 TB it
+    moves to the chunker's Arrow ``mapInPandas`` seam (measured 6× there) —
+    the merge replaces and counts stay codegen either way.
+    """
+    if merges is None:
+        merges = [
+            (r["merge_left"], r["merge_right"])
+            for r in bpe_train_merges(
+                docs, n_merges=n_merges, id_col=id_col, text_col=text_col
+            ).collect()
+        ]
+    sep2 = _SEP + _SEP
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT),
+        lambda w: w != F.lit(""),
+    )
+    enc = F.concat_ws(" ", F.transform(words, _sym_str_col))
+    for left, right in merges:
+        enc = F.replace(
+            enc,
+            F.lit(_SEP + left + sep2 + right + _SEP),
+            F.lit(_SEP + left + right + _SEP),
+        )
+    n_words = F.size(words).cast("bigint")
+    n_bounds = (
+        (F.length(enc) - F.length(F.replace(enc, F.lit(sep2), F.lit(""))))
+        / F.lit(2)
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        (n_bounds + n_words).alias("n_bpe_tokens"),
+        F.md5(enc).alias("enc_md5"),
+    )
