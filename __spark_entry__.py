@@ -2728,6 +2728,16 @@ def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift report between two snapshots (even vs odd doc_id as the
+    two-crawl stand-in): symmetric KL over hashed-unigram multinomials.
+    Two bounded shuffles at any corpus size — the exchange carries
+    ≤ DSIR_BUCKETS rows, never the corpus."""
+    from text_extract_api_spark.functions.selection import kl_drift
+
+    return kl_drift(_docs(spark, sf_dir), F.col("doc_id") % 2 == 0)
+
+
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the trained BPE merges (the apply half of
     the Sennrich 2016 loop): per-doc subword token counts + md5 of the
@@ -3291,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "media_phash_neardup": q_media_phash_neardup,
         "bpe_apply": q_bpe_apply,
+        "kl_drift": q_kl_drift,
         "quality_c4_rules": q_quality_c4_rules,
         "semdedup_kmeans": q_semdedup_kmeans,
         "prune_prototypes": q_prune_prototypes,
@@ -3385,7 +3396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from text_extract_api_spark.functions.selection import dsir_scores_sql
+    from text_extract_api_spark.functions.selection import (
+        dsir_scores_sql,
+        kl_drift_sql,
+    )
 
     jaccard_full = (
         f"WITH {_SHINGLE_CTE},\n"
@@ -3602,6 +3616,7 @@ HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """.strip(),
         "dsir_select": dsir_scores_sql("source = 'src1'"),
         "bpe_apply": _bpe_apply_sql(),
+        "kl_drift": kl_drift_sql("doc_id % 2 = 0"),
         "ccnet_ppl_buckets": _ccnet_buckets_sql(),
         "media_phash_neardup": _phash_neardup_sql(),
         "quality_c4_rules": _c4_sql(),

@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_unigram_logppl",
     "ccnet_ppl_buckets",
     "dsir_select",
+    "kl_drift",
     "media_phash_neardup",
     "corpus_datacard",
     "neardup_keep_best",

@@ -58,6 +58,11 @@ BOUNDS = {
     # log-ratio table and one-row totals are the 2 broadcasts — never a
     # corpus-scaled side
     "dsir_select": (12, 0, 0, True),
+    # 6 STATIC: the bucket-count subtree replays under the totals agg and
+    # the term join (AQE reuse); the exchange payload is ≤ DSIR_BUCKETS
+    # rows either way. The length(trim(text)) filter is not a pushable
+    # predicate (function of a column), hence no PushedFilters.
+    "kl_drift": (6, 0, 0, False),
     # 29 STATIC: the full logppl chain replays under the threshold branch
     # AND the final bucket join (identical exchanges → AQE reuse, same
     # pattern as quality_unigram_logppl's 13); the per-language threshold

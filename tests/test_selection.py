@@ -150,3 +150,26 @@ def test_bpe_apply_trained_merges_reduce_token_count(spark):
     n_with = sum(r["n_bpe_tokens"] for r in with_merges.collect())
     n_without = sum(r["n_bpe_tokens"] for r in without.collect())
     assert n_with < n_without
+
+
+def test_kl_drift_zero_for_identical_snapshots(spark):
+    from text_extract_api_spark.functions.selection import kl_drift
+
+    # Even/odd halves carry the identical text distribution -> drift ~ 0
+    # (exactly 0 up to the micro-nat quantization: counts per bucket equal).
+    rows = [(i, "alpha beta gamma", "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    [r] = kl_drift(docs, F.col("doc_id") % 2 == 0).collect()
+    assert r["a_tokens"] == r["b_tokens"] == 15
+    assert r["kl_sym"] == 0.0
+
+
+def test_kl_drift_positive_for_disjoint_vocab(spark):
+    from text_extract_api_spark.functions.selection import kl_drift
+
+    rows = [(i, "alpha beta gamma", "s") for i in range(0, 10, 2)]
+    rows += [(i, "zeta eta theta", "s") for i in range(1, 10, 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    [r] = kl_drift(docs, F.col("doc_id") % 2 == 0).collect()
+    assert r["kl_ab"] > 0 and r["kl_ba"] > 0
+    assert abs(r["kl_sym"] - round(r["kl_ab"] + r["kl_ba"], 6)) < 1e-9

@@ -198,3 +198,141 @@ SELECT d.doc_id, ({target_pred_sql}) AS is_target,
          AS selected
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """.strip()
+
+
+def kl_drift(
+    docs: DataFrame,
+    snapshot_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """One-row corpus-drift report between two snapshots — the monitoring
+    pass a continuously-crawled training pipeline runs before admitting a
+    new snapshot: symmetric KL divergence between the hashed-unigram
+    distributions of snapshot A (``snapshot_pred``) and snapshot B (the
+    rest). Large drift = the crawl changed character (new spam cluster,
+    encoding regression, source mix shift) and the mix weights need
+    re-deriving.
+
+    Returns (a_tokens, b_tokens, n_active_buckets, kl_ab, kl_ba, kl_sym):
+    KL(A‖B), KL(B‖A) in nats over Laplace-smoothed bucket multinomials,
+    and their sum (symmetric KL).
+
+    Determinism: per-bucket ln-ratios quantized to BIGINT micro-nats, then
+    weighted by exact integer bucket counts and integer-summed — the same
+    no-float-accumulation contract as dsir_scores; the two final divisions
+    run on identical operands in both engines.
+
+    Scale design: ONE explode → groupBy(bucket) pass builds both sides'
+    counts (map-side combine; the exchange carries ≤ n_buckets rows), then
+    a one-row total agg. Nothing is ever joined against the corpus; the
+    report is two bounded shuffles regardless of corpus size.
+    """
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        snapshot_pred.alias("in_a"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT)).alias("word"),
+    )
+    bc = (
+        toks.select(
+            "in_a", (hash_u32_col(F.col("word"), salt) % n_buckets).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_cnt"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_cnt"),
+        )
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    tot = bc.agg(
+        F.sum("a_cnt").cast("bigint").alias("a_tot"),
+        F.sum("b_cnt").cast("bigint").alias("b_tot"),
+        F.count("*").cast("bigint").alias("n_active"),
+    )
+    # ln(p_a/p_b) per bucket in micro-nats; p = Laplace-smoothed (cnt+1)/(tot+B)
+    lr_u = F.round(
+        (
+            F.log((F.col("a_cnt") + F.lit(1)).cast("double") / (F.col("a_tot") + b).cast("double"))
+            - F.log((F.col("b_cnt") + F.lit(1)).cast("double") / (F.col("b_tot") + b).cast("double"))
+        )
+        * F.lit(float(DSIR_SCALE)),
+        0,
+    ).cast("bigint")
+    terms = bc.crossJoin(F.broadcast(tot)).select(
+        "a_tot", "b_tot", "n_active",
+        ((F.col("a_cnt") + F.lit(1)) * lr_u).alias("a_term_u"),
+        ((F.col("b_cnt") + F.lit(1)) * (-lr_u)).alias("b_term_u"),
+    )
+    # KL(A||B) = Σ p_a · ln(p_a/p_b); numerators (cnt+1) are the exact
+    # integer weights, the common denominator (tot+B) factors out of the sum
+    out = terms.groupBy("a_tot", "b_tot", "n_active").agg(
+        F.sum("a_term_u").alias("a_sum_u"),
+        F.sum("b_term_u").alias("b_sum_u"),
+    )
+    kl_ab = F.round(
+        F.col("a_sum_u").cast("double")
+        / ((F.col("a_tot") + b).cast("double") * F.lit(float(DSIR_SCALE))),
+        6,
+    )
+    kl_ba = F.round(
+        F.col("b_sum_u").cast("double")
+        / ((F.col("b_tot") + b).cast("double") * F.lit(float(DSIR_SCALE))),
+        6,
+    )
+    return out.select(
+        F.col("a_tot").alias("a_tokens"),
+        F.col("b_tot").alias("b_tokens"),
+        F.col("n_active").alias("n_active_buckets"),
+        kl_ab.alias("kl_ab"),
+        kl_ba.alias("kl_ba"),
+        F.round(kl_ab + kl_ba, 6).alias("kl_sym"),
+    )
+
+
+def kl_drift_sql(
+    snapshot_pred_sql: str,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`kl_drift`."""
+    u = hash_u32_sql("word", salt)
+    return f"""
+WITH toks AS (
+  SELECT ({snapshot_pred_sql}) AS in_a,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+  FROM {table} WHERE length(trim(text)) > 0
+),
+bc AS (
+  SELECT ({u}) % {n_buckets} AS bucket,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS a_tot,
+               CAST(SUM(b_cnt) AS BIGINT) AS b_tot,
+               CAST(COUNT(*) AS BIGINT) AS n_active FROM bc),
+terms AS (
+  SELECT a_tot, b_tot, n_active,
+         (a_cnt + 1) * lr_u AS a_term_u,
+         (b_cnt + 1) * (-lr_u) AS b_term_u
+  FROM (
+    SELECT a_cnt, b_cnt, a_tot, b_tot, n_active,
+           CAST(round((ln(CAST(a_cnt + 1 AS DOUBLE) / CAST(a_tot + {n_buckets} AS DOUBLE))
+                     - ln(CAST(b_cnt + 1 AS DOUBLE) / CAST(b_tot + {n_buckets} AS DOUBLE)))
+                      * {DSIR_SCALE}.0, 0) AS BIGINT) AS lr_u
+    FROM bc CROSS JOIN tot
+  )
+),
+sums AS (
+  SELECT a_tot, b_tot, n_active,
+         SUM(a_term_u) AS a_sum_u, SUM(b_term_u) AS b_sum_u
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT a_tot AS a_tokens, b_tot AS b_tokens, n_active AS n_active_buckets,
+       round(CAST(a_sum_u AS DOUBLE) / (CAST(a_tot + {n_buckets} AS DOUBLE) * {DSIR_SCALE}.0), 6) AS kl_ab,
+       round(CAST(b_sum_u AS DOUBLE) / (CAST(b_tot + {n_buckets} AS DOUBLE) * {DSIR_SCALE}.0), 6) AS kl_ba,
+       round(round(CAST(a_sum_u AS DOUBLE) / (CAST(a_tot + {n_buckets} AS DOUBLE) * {DSIR_SCALE}.0), 6)
+           + round(CAST(b_sum_u AS DOUBLE) / (CAST(b_tot + {n_buckets} AS DOUBLE) * {DSIR_SCALE}.0), 6), 6) AS kl_sym
+FROM sums
+""".strip()
