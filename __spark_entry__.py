@@ -710,6 +710,14 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """.strip()
 
 
+def _quality_classifier_sql() -> str:
+    from text_extract_api_spark.functions.classifier import (
+        quality_classifier_sql,
+    )
+
+    return quality_classifier_sql("lang = 'en'")
+
+
 def _ccnet_buckets_sql() -> str:
     """ccnet_ppl_buckets oracle: the unigram-LM chain (identical to
     _unigram_logppl_sql) plus per-language interpolated terciles. Rounded
@@ -2728,6 +2736,19 @@ def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (the DCLM/FineWeb-style linear classifier):
+    3 rounds of distributed full-batch logistic regression over hashed
+    unigram features, labels = (lang = 'en'), scoring every document with
+    the trained model. Integer micro-unit weights end to end — the oracle
+    unrolls the GD rounds as CTE layers and matches bit-for-bit."""
+    from text_extract_api_spark.functions.classifier import (
+        train_quality_classifier,
+    )
+
+    return train_quality_classifier(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift report between two snapshots (even vs odd doc_id as the
     two-crawl stand-in): symmetric KL over hashed-unigram multinomials.
@@ -3302,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_neardup": q_media_phash_neardup,
         "bpe_apply": q_bpe_apply,
         "kl_drift": q_kl_drift,
+        "quality_classifier": q_quality_classifier,
         "quality_c4_rules": q_quality_c4_rules,
         "semdedup_kmeans": q_semdedup_kmeans,
         "prune_prototypes": q_prune_prototypes,
@@ -3617,6 +3639,7 @@ HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         "dsir_select": dsir_scores_sql("source = 'src1'"),
         "bpe_apply": _bpe_apply_sql(),
         "kl_drift": kl_drift_sql("doc_id % 2 = 0"),
+        "quality_classifier": _quality_classifier_sql(),
         "ccnet_ppl_buckets": _ccnet_buckets_sql(),
         "media_phash_neardup": _phash_neardup_sql(),
         "quality_c4_rules": _c4_sql(),

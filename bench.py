@@ -47,6 +47,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "dsir_select",
     "kl_drift",
+    "quality_classifier",
     "media_phash_neardup",
     "corpus_datacard",
     "neardup_keep_best",

@@ -173,3 +173,31 @@ def test_kl_drift_positive_for_disjoint_vocab(spark):
     [r] = kl_drift(docs, F.col("doc_id") % 2 == 0).collect()
     assert r["kl_ab"] > 0 and r["kl_ba"] > 0
     assert abs(r["kl_sym"] - round(r["kl_ab"] + r["kl_ba"], 6)) < 1e-9
+
+
+def test_quality_classifier_learns_separable_labels(spark):
+    from text_extract_api_spark.functions.classifier import (
+        train_quality_classifier,
+    )
+
+    # Disjoint vocabularies -> linearly separable in the hashed space
+    # (1024 buckets, 6 distinct words: collisions effectively impossible).
+    rows = [(i, "good clean prose here", "s") for i in range(10)]
+    rows += [(i + 10, "spam junk noise", "s") for i in range(10)]
+    rows.append((99, "  ", "s"))  # token-less doc: scored by the bias alone
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in train_quality_classifier(
+            docs, F.col("doc_id") < 10, n_rounds=6, lr=8.0
+        ).collect()
+    }
+    assert len(out) == 21
+    assert all(out[i]["predicted"] is True for i in range(10))
+    assert all(out[i + 10]["predicted"] is False for i in range(10))
+    # probabilities ordered with the labels, not just thresholded
+    assert min(out[i]["prob"] for i in range(10)) > max(
+        out[i + 10]["prob"] for i in range(10)
+    )
+    # the token-less doc gets the bias-only prior (more 0s than 1s -> < 0.5)
+    assert out[99]["prob"] < 0.5

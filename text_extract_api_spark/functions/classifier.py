@@ -1,0 +1,261 @@
+"""Model-based quality classification — distributed logistic regression.
+
+Not in the reference (single-document service); mandated by the build
+contract's training-data-pipeline scope. The modern web-corpus pipelines
+(DCLM, FineWeb-Edu) gate documents with a fastText-style linear classifier
+over bag-of-words features rather than hand rules alone; this module is
+that pass, built Spark-first: hashed unigram features (hashing trick, the
+same md5-u32 primitive as functions/selection.py), full-batch gradient
+descent where each round is two bounded shuffles plus a ≤``n_buckets``-row
+driver collect (the kmeans-centroid pattern), and scoring that never joins
+anything corpus-scaled against the corpus except the per-doc residual join
+GD inherently needs.
+
+Determinism contract (engine parity): weights live in INTEGER micro-units
+(w = w_u / 1e6, BIGINT) at every step, so per-document scores are exact
+integer dot products — no partition-order float accumulation anywhere.
+The only floats are (a) the sigmoid, evaluated on bit-identical
+``score_u/1e6`` doubles and immediately re-quantized to a micro-unit
+residual, and (b) the learning-rate multiply on the integer gradient,
+evaluated on identical operands in both engines. The DuckDB oracle unrolls
+the GD rounds as CTE layers (kmeans/BPE-oracle pattern) and must reproduce
+every probability bit-for-bit after 6-dp rounding.
+
+Scale design (100 TB): driver state = the weight vector, capped at
+``n_buckets + 1`` by the hashing trick — never vocabulary-scaled. Per
+round: one groupBy(doc) score agg over the cached feature table, one
+merge-hinted residual join back onto features, one groupBy(bucket)
+gradient agg whose exchange carries ≤ n_buckets rows. Rounds are O(corpus)
+scans with bounded driver traffic — the standard distributed full-batch GD
+shape. For stochastic variants at extreme scale, sub-sample the feature
+table with the deterministic hash-threshold sampler (stratified_sample)
+before training; scoring is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import hash_u32_col, hash_u32_sql
+from .textstats import WS_SPLIT
+
+CLF_BUCKETS = 1024
+CLF_ROUNDS = 3
+CLF_LR = 4.0  # full-batch GD step; large-ish because gradients are means
+CLF_SCALE = 1_000_000  # micro-unit fixed point (engine-wide convention)
+
+
+def _feature_tf(
+    docs: DataFrame,
+    label_pred: Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(spine, tf): the (doc_id, y) label spine over ALL docs and the
+    (doc_id, bucket, tf) hashed term-frequency table over non-empty docs."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        label_pred.cast("int").alias("y"),
+    )
+    spine = base.select("doc_id", "y")
+    tf = (
+        base.filter(F.length(F.trim(F.col("_text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("_text"))), WS_SPLIT)
+            ).alias("word"),
+        )
+        .select(
+            "doc_id",
+            (hash_u32_col(F.col("word"), salt) % n_buckets).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    return spine, tf
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = CLF_BUCKETS,
+    n_rounds: int = CLF_ROUNDS,
+    lr: float = CLF_LR,
+    salt: str = "clf",
+) -> DataFrame:
+    """Train ``n_rounds`` of full-batch logistic regression against the
+    boolean ``label_pred`` and return the final per-document scoring:
+    (doc_id, y, prob, predicted) for EVERY document — the trained filter's
+    verdict on its own corpus (the shape a deployment persists before
+    thresholding the admission gate).
+
+    GD update (all integer micro-units; N = total doc count):
+        score_u_i = Σ_b tf_ib · w_u_b + bias_u          (exact BIGINT)
+        p_i       = σ(score_u_i / 1e6)                  (identical doubles)
+        r_u_i     = round((y_i − p_i) · 1e6)            (micro residual)
+        w_u_b    += round(lr · Σ_i r_u_i · tf_ib / N)
+        bias_u   += round(lr · Σ_i r_u_i / N)
+    Zero-init weights; documents with no tokens score the bias alone and
+    contribute only to the bias gradient (they stay in the spine).
+    """
+    spark = docs.sparkSession
+    spine, tf = _feature_tf(docs, label_pred, id_col, text_col, n_buckets, salt)
+    spine = spine.localCheckpoint()  # corpus-spine: reused every round
+    tf = tf.localCheckpoint()  # feature table: reused every round
+    n_docs = spine.count()
+    weights: dict[int, int] = {}  # bucket -> w_u (micro-units)
+    bias_u = 0
+
+    def scored(w: dict[int, int], b_u: int) -> DataFrame:
+        if w:
+            wdf = spark.createDataFrame(
+                [(k, v) for k, v in sorted(w.items())], "bucket bigint, w_u bigint"
+            )
+            part = (
+                tf.join(F.broadcast(wdf), "bucket")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("tf") * F.col("w_u")).alias("dot_u"))
+            )
+        else:  # round 1: all-zero weights — score is the bias alone
+            part = tf.groupBy("doc_id").agg(F.lit(0).cast("bigint").alias("dot_u"))
+        return spine.join(part.hint("merge"), "doc_id", "left").select(
+            "doc_id",
+            "y",
+            (F.coalesce(F.col("dot_u"), F.lit(0)) + F.lit(b_u)).alias("score_u"),
+        )
+
+    def resid(sc: DataFrame) -> DataFrame:
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("score_u").cast("double") / F.lit(float(CLF_SCALE))))
+        )
+        return sc.select(
+            "doc_id",
+            F.round((F.col("y").cast("double") - p) * F.lit(float(CLF_SCALE)), 0)
+            .cast("bigint")
+            .alias("r_u"),
+        )
+
+    for _ in range(n_rounds):
+        r = resid(scored(weights, bias_u)).localCheckpoint()
+        grads = (
+            tf.join(r.hint("merge"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r_u") * F.col("tf")).alias("g_u"))
+            .collect()  # ≤ n_buckets rows — bounded by config, kmeans pattern
+        )
+        [bg] = r.agg(F.sum("r_u").alias("g_u")).collect()
+        for row in grads:
+            b = int(row["bucket"])
+            weights[b] = weights.get(b, 0) + int(
+                _round_half_up(lr * float(row["g_u"]) / n_docs)
+            )
+        bias_u += int(_round_half_up(lr * float(bg["g_u"]) / n_docs))
+
+    final = scored(weights, bias_u)
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("score_u").cast("double") / F.lit(float(CLF_SCALE))))
+    )
+    return final.select(
+        "doc_id",
+        "y",
+        F.round(p, 6).alias("prob"),
+        (p >= F.lit(0.5)).alias("predicted"),
+    )
+
+
+def _round_half_up(x: float) -> float:
+    """Python's round() is banker's; Spark/DuckDB round() is HALF_UP away
+    from zero — the driver-side weight update must match the oracle's."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def quality_classifier_sql(
+    label_pred_sql: str,
+    n_buckets: int = CLF_BUCKETS,
+    n_rounds: int = CLF_ROUNDS,
+    lr: float = CLF_LR,
+    salt: str = "clf",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`train_quality_classifier`: the GD rounds
+    unrolled as CTE layers (kmeans/BPE pattern). Weight tables carry only
+    ACTIVE buckets (inactive buckets keep w_u = 0 forever: no tf row can
+    produce a gradient for them), bias as a one-row CTE per round."""
+    u = hash_u32_sql("word", salt)
+    p_of = (
+        lambda score_u: f"(1.0 / (1.0 + exp(-(CAST({score_u} AS DOUBLE) / {CLF_SCALE}.0))))"
+    )
+    parts = [
+        f"""
+WITH spine AS (
+  SELECT doc_id, CAST(({label_pred_sql}) AS INT) AS y FROM {table}
+),
+nd AS (SELECT COUNT(*) AS n FROM spine),
+tf AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, ({u}) % {n_buckets} AS bucket FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+')) AS word
+      FROM {table} WHERE length(trim(text)) > 0
+    )
+  ) GROUP BY 1, 2
+),
+w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_u FROM tf),
+b0 AS (SELECT CAST(0 AS BIGINT) AS bias_u)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+sc{r} AS (
+  SELECT s.doc_id, s.y,
+         COALESCE(d.dot_u, 0) + (SELECT bias_u FROM b{r - 1}) AS score_u
+  FROM spine s LEFT JOIN (
+    SELECT tf.doc_id, SUM(tf.tf * w.w_u) AS dot_u
+    FROM tf JOIN w{r - 1} w USING (bucket) GROUP BY 1
+  ) d USING (doc_id)
+),
+rs{r} AS (
+  SELECT doc_id,
+         CAST(round((CAST(y AS DOUBLE) - {p_of('score_u')}) * {CLF_SCALE}.0, 0)
+              AS BIGINT) AS r_u
+  FROM sc{r}
+),
+w{r} AS (
+  SELECT w.bucket,
+         w.w_u + CAST(round({lr} * CAST(COALESCE(g.g_u, 0) AS DOUBLE)
+                            / (SELECT n FROM nd), 0) AS BIGINT) AS w_u
+  FROM w{r - 1} w LEFT JOIN (
+    SELECT tf.bucket, SUM(rs.r_u * tf.tf) AS g_u
+    FROM tf JOIN rs{r} rs USING (doc_id) GROUP BY 1
+  ) g USING (bucket)
+),
+b{r} AS (
+  SELECT (SELECT bias_u FROM b{r - 1})
+         + CAST(round({lr} * CAST((SELECT SUM(r_u) FROM rs{r}) AS DOUBLE)
+                      / (SELECT n FROM nd), 0) AS BIGINT) AS bias_u
+)"""
+        )
+    tail = f"""
+SELECT s.doc_id, s.y,
+       round({p_of('s.score_u')}, 6) AS prob,
+       {p_of('s.score_u')} >= 0.5 AS predicted
+FROM sc_final s
+""".rstrip()
+    final_sc = f""",
+sc_final AS (
+  SELECT s.doc_id, s.y,
+         COALESCE(d.dot_u, 0) + (SELECT bias_u FROM b{n_rounds}) AS score_u
+  FROM spine s LEFT JOIN (
+    SELECT tf.doc_id, SUM(tf.tf * w.w_u) AS dot_u
+    FROM tf JOIN w{n_rounds} w USING (bucket) GROUP BY 1
+  ) d USING (doc_id)
+)"""
+    return ("".join(parts) + final_sc + "\n" + tail).strip()
