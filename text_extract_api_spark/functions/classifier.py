@@ -43,7 +43,7 @@ from .textstats import WS_SPLIT
 
 CLF_BUCKETS = 1024
 CLF_ROUNDS = 3
-CLF_LR = 4.0  # full-batch GD step; large-ish because gradients are means
+CLF_LR = 1.0  # full-batch GD step (measured: 4.0 oscillates on presence features)
 CLF_SCALE = 1_000_000  # micro-unit fixed point (engine-wide convention)
 
 
@@ -55,8 +55,10 @@ def _feature_tf(
     n_buckets: int,
     salt: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """(spine, tf): the (doc_id, y) label spine over ALL docs and the
-    (doc_id, bucket, tf) hashed term-frequency table over non-empty docs."""
+    """(spine, x): the (doc_id, y) label spine over ALL docs and the
+    (doc_id, bucket, x_u) BINARY-PRESENCE hashed feature table over
+    non-empty docs — x_u = 1e6 micro (feature value 1.0) per distinct
+    bucket the document touches."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
@@ -78,7 +80,17 @@ def _feature_tf(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    return spine, tf
+    # binary presence: the groupBy(doc, bucket) already collapses repeats,
+    # so every surviving row IS a present feature — x_u is the constant
+    # 1e6 micro (feature value 1.0). Presence caps each feature's
+    # per-document mass independent of term frequency AND document length,
+    # which is what lets one learning rate fit every document (raw-tf
+    # measured divergent: long docs dominate; mean-pooled tf measured
+    # 30× too slow to converge: feature scale shrinks with doc length).
+    x = tf.select(
+        "doc_id", "bucket", F.lit(CLF_SCALE).cast("bigint").alias("x_u")
+    )
+    return spine, x
 
 
 def train_quality_classifier(
@@ -97,19 +109,25 @@ def train_quality_classifier(
     verdict on its own corpus (the shape a deployment persists before
     thresholding the admission gate).
 
-    GD update (all integer micro-units; N = total doc count):
-        score_u_i = Σ_b tf_ib · w_u_b + bias_u          (exact BIGINT)
-        p_i       = σ(score_u_i / 1e6)                  (identical doubles)
+    GD update (weights in integer micro-units, dot products in exact
+    integer pico-units; N = total doc count):
+        x_u_ib    = 1e6 iff bucket b present in doc i   (presence feature)
+        score_p_i = Σ_b x_u_ib · w_u_b + bias_u · 1e6   (exact BIGINT, pico)
+        p_i       = σ(score_p_i / 1e12)                 (identical doubles)
         r_u_i     = round((y_i − p_i) · 1e6)            (micro residual)
-        w_u_b    += round(lr · Σ_i r_u_i · tf_ib / N)
+        w_u_b    += round(lr · Σ_i r_u_i · x_u_ib / (1e6 · N))
         bias_u   += round(lr · Σ_i r_u_i / N)
     Zero-init weights; documents with no tokens score the bias alone and
     contribute only to the bias gradient (they stay in the spine).
+    Integer-width note: gradient accumulators stay within BIGINT up to
+    ~2^53/1e12 ≈ 9e3 · 1e6-token... concretely Σ_i r_u·x_u ≤ N · 1e12, so
+    N beyond ~9e6 documents needs the DECIMAL(38) promotion mix_weights
+    uses — a one-line cast at deploy scale.
     """
     spark = docs.sparkSession
-    spine, tf = _feature_tf(docs, label_pred, id_col, text_col, n_buckets, salt)
+    spine, x = _feature_tf(docs, label_pred, id_col, text_col, n_buckets, salt)
     spine = spine.localCheckpoint()  # corpus-spine: reused every round
-    tf = tf.localCheckpoint()  # feature table: reused every round
+    x = x.localCheckpoint()  # feature table: reused every round
     n_docs = spine.count()
     weights: dict[int, int] = {}  # bucket -> w_u (micro-units)
     bias_u = 0
@@ -120,21 +138,30 @@ def train_quality_classifier(
                 [(k, v) for k, v in sorted(w.items())], "bucket bigint, w_u bigint"
             )
             part = (
-                tf.join(F.broadcast(wdf), "bucket")
+                x.join(F.broadcast(wdf), "bucket")
                 .groupBy("doc_id")
-                .agg(F.sum(F.col("tf") * F.col("w_u")).alias("dot_u"))
+                .agg(F.sum(F.col("x_u") * F.col("w_u")).alias("dot_p"))
             )
         else:  # round 1: all-zero weights — score is the bias alone
-            part = tf.groupBy("doc_id").agg(F.lit(0).cast("bigint").alias("dot_u"))
+            part = x.groupBy("doc_id").agg(F.lit(0).cast("bigint").alias("dot_p"))
         return spine.join(part.hint("merge"), "doc_id", "left").select(
             "doc_id",
             "y",
-            (F.coalesce(F.col("dot_u"), F.lit(0)) + F.lit(b_u)).alias("score_u"),
+            (
+                F.coalesce(F.col("dot_p"), F.lit(0))
+                + F.lit(b_u * CLF_SCALE)
+            ).alias("score_p"),
         )
 
     def resid(sc: DataFrame) -> DataFrame:
         p = F.lit(1.0) / (
-            F.lit(1.0) + F.exp(-(F.col("score_u").cast("double") / F.lit(float(CLF_SCALE))))
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("score_p").cast("double")
+                    / F.lit(float(CLF_SCALE) * float(CLF_SCALE))
+                )
+            )
         )
         return sc.select(
             "doc_id",
@@ -144,24 +171,44 @@ def train_quality_classifier(
         )
 
     for _ in range(n_rounds):
+        # one localCheckpoint (the residual frame feeds both union branches
+        # AND would otherwise recompute its spine merge-join per branch —
+        # measured 4× slower un-checkpointed at sf0.1) + ONE union-agg
+        # collect per round: bucket −1 carries the bias gradient (tf has
+        # no negative buckets), so weight and bias updates arrive in a
+        # single ≤ n_buckets+1-row job instead of two.
         r = resid(scored(weights, bias_u)).localCheckpoint()
-        grads = (
-            tf.join(r.hint("merge"), "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("r_u") * F.col("tf")).alias("g_u"))
-            .collect()  # ≤ n_buckets rows — bounded by config, kmeans pattern
+        contrib = (
+            x.join(r.hint("merge"), "doc_id")
+            .select("bucket", (F.col("r_u") * F.col("x_u")).alias("g"))
+            .unionByName(
+                r.select(
+                    F.lit(-1).cast("bigint").alias("bucket"),
+                    F.col("r_u").alias("g"),
+                )
+            )
         )
-        [bg] = r.agg(F.sum("r_u").alias("g_u")).collect()
+        grads = contrib.groupBy("bucket").agg(F.sum("g").alias("g_u")).collect()
         for row in grads:
             b = int(row["bucket"])
-            weights[b] = weights.get(b, 0) + int(
-                _round_half_up(lr * float(row["g_u"]) / n_docs)
-            )
-        bias_u += int(_round_half_up(lr * float(bg["g_u"]) / n_docs))
+            if b < 0:  # bias gradient: Σ r_u is already micro-scaled
+                bias_u += int(_round_half_up(lr * float(row["g_u"]) / n_docs))
+            else:  # weight gradient: Σ r_u·x_u is micro² — rescale to micro
+                weights[b] = weights.get(b, 0) + int(
+                    _round_half_up(
+                        lr * float(row["g_u"]) / (float(CLF_SCALE) * n_docs)
+                    )
+                )
 
     final = scored(weights, bias_u)
     p = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-(F.col("score_u").cast("double") / F.lit(float(CLF_SCALE))))
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.col("score_p").cast("double")
+                / F.lit(float(CLF_SCALE) * float(CLF_SCALE))
+            )
+        )
     )
     return final.select(
         "doc_id",
@@ -190,8 +237,9 @@ def quality_classifier_sql(
     ACTIVE buckets (inactive buckets keep w_u = 0 forever: no tf row can
     produce a gradient for them), bias as a one-row CTE per round."""
     u = hash_u32_sql("word", salt)
+    pico = f"{CLF_SCALE}.0 * {CLF_SCALE}.0"
     p_of = (
-        lambda score_u: f"(1.0 / (1.0 + exp(-(CAST({score_u} AS DOUBLE) / {CLF_SCALE}.0))))"
+        lambda score_p: f"(1.0 / (1.0 + exp(-(CAST({score_p} AS DOUBLE) / ({pico})))))"
     )
     parts = [
         f"""
@@ -208,7 +256,10 @@ tf AS (
     )
   ) GROUP BY 1, 2
 ),
-w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_u FROM tf),
+x AS (
+  SELECT doc_id, bucket, CAST({CLF_SCALE} AS BIGINT) AS x_u FROM tf
+),
+w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_u FROM x),
 b0 AS (SELECT CAST(0 AS BIGINT) AS bias_u)"""
     ]
     for r in range(1, n_rounds + 1):
@@ -216,25 +267,27 @@ b0 AS (SELECT CAST(0 AS BIGINT) AS bias_u)"""
             f""",
 sc{r} AS (
   SELECT s.doc_id, s.y,
-         COALESCE(d.dot_u, 0) + (SELECT bias_u FROM b{r - 1}) AS score_u
+         COALESCE(d.dot_p, 0) + (SELECT bias_u FROM b{r - 1}) * {CLF_SCALE}
+           AS score_p
   FROM spine s LEFT JOIN (
-    SELECT tf.doc_id, SUM(tf.tf * w.w_u) AS dot_u
-    FROM tf JOIN w{r - 1} w USING (bucket) GROUP BY 1
+    SELECT x.doc_id, SUM(x.x_u * w.w_u) AS dot_p
+    FROM x JOIN w{r - 1} w USING (bucket) GROUP BY 1
   ) d USING (doc_id)
 ),
 rs{r} AS (
   SELECT doc_id,
-         CAST(round((CAST(y AS DOUBLE) - {p_of('score_u')}) * {CLF_SCALE}.0, 0)
+         CAST(round((CAST(y AS DOUBLE) - {p_of('score_p')}) * {CLF_SCALE}.0, 0)
               AS BIGINT) AS r_u
   FROM sc{r}
 ),
 w{r} AS (
   SELECT w.bucket,
          w.w_u + CAST(round({lr} * CAST(COALESCE(g.g_u, 0) AS DOUBLE)
-                            / (SELECT n FROM nd), 0) AS BIGINT) AS w_u
+                            / ({CLF_SCALE}.0 * (SELECT n FROM nd)), 0)
+                      AS BIGINT) AS w_u
   FROM w{r - 1} w LEFT JOIN (
-    SELECT tf.bucket, SUM(rs.r_u * tf.tf) AS g_u
-    FROM tf JOIN rs{r} rs USING (doc_id) GROUP BY 1
+    SELECT x.bucket, SUM(rs.r_u * x.x_u) AS g_u
+    FROM x JOIN rs{r} rs USING (doc_id) GROUP BY 1
   ) g USING (bucket)
 ),
 b{r} AS (
@@ -245,17 +298,18 @@ b{r} AS (
         )
     tail = f"""
 SELECT s.doc_id, s.y,
-       round({p_of('s.score_u')}, 6) AS prob,
-       {p_of('s.score_u')} >= 0.5 AS predicted
+       round({p_of('s.score_p')}, 6) AS prob,
+       {p_of('s.score_p')} >= 0.5 AS predicted
 FROM sc_final s
 """.rstrip()
     final_sc = f""",
 sc_final AS (
   SELECT s.doc_id, s.y,
-         COALESCE(d.dot_u, 0) + (SELECT bias_u FROM b{n_rounds}) AS score_u
+         COALESCE(d.dot_p, 0) + (SELECT bias_u FROM b{n_rounds}) * {CLF_SCALE}
+           AS score_p
   FROM spine s LEFT JOIN (
-    SELECT tf.doc_id, SUM(tf.tf * w.w_u) AS dot_u
-    FROM tf JOIN w{n_rounds} w USING (bucket) GROUP BY 1
+    SELECT x.doc_id, SUM(x.x_u * w.w_u) AS dot_p
+    FROM x JOIN w{n_rounds} w USING (bucket) GROUP BY 1
   ) d USING (doc_id)
 )"""
     return ("".join(parts) + final_sc + "\n" + tail).strip()
