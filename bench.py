@@ -34,6 +34,11 @@ from text_extract_api_spark.synth import synthesize_interleaved_office
 HEADLINE = [
     "pipeline_extract_flat",
     "pipeline_extract_office",
+    "temperature_mix",
+    "tokenizer_fertility",
+    "snapshot_diff",
+    "quality_percentile_gate",
+    "holdout_split",
     "dedup_minhash_neardups",
     "neardup_clusters",
     "dedup_simhash",

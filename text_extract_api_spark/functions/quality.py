@@ -616,3 +616,63 @@ def ccnet_buckets(
     return scored.join(F.broadcast(thresholds), "lang", "left").select(
         "doc_id", "lang", "n_tokens", "logppl", bucket.alias("ppl_bucket")
     )
+
+
+QUALITY_GATE_KEEP_FRAC = 0.25
+
+
+def quality_percentile_gate(
+    docs: DataFrame,
+    keep_frac: float = QUALITY_GATE_KEEP_FRAC,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language adaptive quality admission gate — the FineWeb-Edu /
+    DCLM pattern of thresholding a quality score at a PERCENTILE rather
+    than a fixed constant (a fixed cut over-admits high-resource languages
+    and starves low-resource ones whose score distributions sit lower;
+    CCNet §4.4 makes the same per-language argument for perplexity).
+    Keeps the top ``keep_frac`` of every language by composite quality.
+
+    Returns (doc_id, lang, quality, q_thresh, keep) for EVERY document:
+    ``q_thresh`` is the language's (1-keep_frac) quantile of the round-4
+    composite quality, ``keep`` = quality ≥ q_thresh. Ties AT the
+    threshold are all kept (the FineWeb semantics — admission is by score,
+    never by an arbitrary tiebreak among equal-quality docs), so the kept
+    fraction can exceed keep_frac by the tie mass.
+
+    Determinism: quality is the parity-proven round-4 composite
+    (`textstats.quality_score_col`); the threshold is an exact interpolated
+    percentile over those round-4 doubles with the shared +1e-9 / round-6
+    epsilon discipline (``length_quantiles`` contract), so both engines
+    compare identical doubles against identical thresholds.
+
+    Scale design (100 TB): scoring is pure codegen per row; thresholds are
+    ONE groupBy(lang) over a narrow (lang, quality) projection — the
+    result is language-cardinality-sized and broadcasts; the keep flag is
+    a row-local compare after the broadcast join. No windows over corpus-
+    sized partitions (a per-language row_number would funnel a whole
+    language through one task — rejected); exact percentiles need per-
+    language co-residency, so at 100 TB swap ``percentile_approx`` exactly
+    as ``length_quantiles(approx=True)`` does.
+    """
+    from .textstats import quality_score_col
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.round(
+            F.percentile("quality", 1.0 - keep_frac) + F.lit(1e-9), 6
+        ).alias("q_thresh")
+    )
+    return scored.join(F.broadcast(thresholds), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "quality",
+        "q_thresh",
+        (F.col("quality") >= F.col("q_thresh")).alias("keep"),
+    )

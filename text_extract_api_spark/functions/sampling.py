@@ -240,3 +240,123 @@ SELECT {key_col},
        ) AS BIGINT) AS pos
 FROM {table}
 """.strip()
+
+
+def temperature_mix(
+    docs: DataFrame,
+    token_col,
+    stratum_col: str = "lang",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled sampling shares per stratum — the multilingual
+    mixing rule of mT5/XLM-R (Xue et al. 2021 §3.1; Conneau et al. 2020
+    §3.1): sampling probability p_i ∝ (n_i/N)^(1/T). T=1 reproduces the
+    natural token distribution; T→∞ flattens toward uniform; the papers
+    ship T∈[2,5] to lift low-resource strata without drowning the head.
+
+    Returns one row per stratum:
+    (stratum, n_docs, total_tokens, share_x1e6, temp_share_x1e6,
+    upsample_x10k) where ``share_x1e6`` is the natural token share,
+    ``temp_share_x1e6`` the temperature-scaled sampling share (both in
+    parts-per-million) and ``upsample_x10k`` = temp_share/share ×10⁴ — the
+    per-stratum repetition factor a loader applies.
+
+    Determinism contract: only ``temperature == 2.0`` is exposed, because
+    x^(1/2) is ``sqrt`` — IEEE-754 requires sqrt be correctly rounded, so
+    Spark's JVM and DuckDB's libm produce the identical double on the
+    identical integer input; a general ``pow(x, 1/T)`` carries a 1-ulp
+    cross-engine caveat this engine's bit-parity gate does not accept.
+    The per-stratum weight q_i = round(sqrt(total_tokens)·10⁶) is
+    quantized to BIGINT *before* the cross-strata sums, so every
+    downstream share/ratio is exact integer arithmetic (DECIMAL(38,0)
+    products — BIGINT would overflow past ~10⁹ tokens) in both engines —
+    no partition-order float accumulation anywhere.
+
+    Scale design (100 TB): one map-side-combined groupBy(stratum) touches
+    the corpus; everything after runs over one row per stratum (window
+    frames bounded by stratum cardinality, like :func:`mix_weights`).
+    """
+    if temperature != 2.0:
+        raise ValueError(
+            "temperature_mix ships the T=2 (sqrt) path only: IEEE sqrt is "
+            "correctly rounded in every engine, pow(x, 1/T) is not"
+        )
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("total_tokens"),
+    )
+    q_u = F.round(F.sqrt(F.col("total_tokens").cast("double")) * F.lit(1e6), 0).cast(
+        "bigint"
+    )
+    w = Window.partitionBy()  # one row per stratum — tiny frame, safe
+    per = per.withColumn("_q_u", q_u).withColumn(
+        "_tok_all", F.sum("total_tokens").over(w).cast("decimal(38,0)")
+    ).withColumn("_q_all", F.sum("_q_u").over(w).cast("decimal(38,0)"))
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "total_tokens",
+        F.when(
+            F.col("_tok_all") > 0,
+            F.expr(
+                "CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000)"
+                " div _tok_all AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("share_x1e6"),
+        F.when(
+            F.col("_q_all") > 0,
+            F.expr("CAST((CAST(_q_u AS DECIMAL(38,0)) * 1000000) div _q_all AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("temp_share_x1e6"),
+        F.when(
+            (F.col("total_tokens") > 0) & (F.col("_q_all") > 0),
+            F.expr(
+                "CAST((CAST(_q_u AS DECIMAL(38,0)) * _tok_all * 10000)"
+                " div (_q_all * CAST(total_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("upsample_x10k"),
+    )
+
+
+def temperature_mix_sql(
+    token_expr: str,
+    stratum_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`temperature_mix` (T=2). HUGEINT casts keep
+    the products exact where Spark uses DECIMAL(38,0)."""
+    return f"""
+WITH per AS (
+  SELECT {stratum_col}, COUNT(*) AS n_docs,
+         CAST(SUM({token_expr}) AS BIGINT) AS total_tokens
+  FROM {table} GROUP BY {stratum_col}
+),
+q AS (
+  SELECT *,
+         CAST(round(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS q_u
+  FROM per
+),
+t AS (
+  SELECT *,
+         CAST(SUM(total_tokens) OVER () AS HUGEINT) AS tok_all,
+         CAST(SUM(q_u) OVER () AS HUGEINT) AS q_all
+  FROM q
+)
+SELECT {stratum_col}, n_docs, total_tokens,
+       CAST(CASE WHEN tok_all > 0
+         THEN (CAST(total_tokens AS HUGEINT) * 1000000) // tok_all
+         ELSE 0 END AS BIGINT) AS share_x1e6,
+       CAST(CASE WHEN q_all > 0
+         THEN (CAST(q_u AS HUGEINT) * 1000000) // q_all
+         ELSE 0 END AS BIGINT) AS temp_share_x1e6,
+       CAST(CASE WHEN total_tokens > 0 AND q_all > 0
+         THEN (CAST(q_u AS HUGEINT) * tok_all * 10000)
+              // (q_all * CAST(total_tokens AS HUGEINT))
+         ELSE 0 END AS BIGINT) AS upsample_x10k
+FROM t
+""".strip()

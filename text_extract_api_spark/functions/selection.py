@@ -336,3 +336,164 @@ SELECT a_tot AS a_tokens, b_tot AS b_tokens, n_active AS n_active_buckets,
            + round(CAST(b_sum_u AS DOUBLE) / (CAST(b_tot + {n_buckets} AS DOUBLE) * {DSIR_SCALE}.0), 6), 6) AS kl_sym
 FROM sums
 """.strip()
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl-snapshot delta — the admission diff a continuously-crawled
+    corpus computes before incremental reprocessing (the batch analog of
+    the engine's `dedup_incremental`): classify every key across two
+    snapshots as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both sides, content fingerprint differs) or ``unchanged``. Downstream,
+    only `added`+`changed` re-enter the extraction/dedup pipeline and
+    `removed` drives retention deletes — at a 10^12-document recrawl this
+    diff is what keeps per-day cost proportional to the CHANGE, not the
+    corpus.
+
+    Inputs are (key, fingerprint) frames; output one row per distinct key:
+    (key, status, old_fp, new_fp). Fingerprints are NULL on the absent side
+    (string NULLs — the engine's no-NULL rule covers numerics).
+
+    Scale design (100 TB): ONE full-outer sort-merge equi-join on the key —
+    both sides are corpus-sized so neither may broadcast (merge-hinted);
+    AQE skew-split covers hot keys. Status is a row-local CASE after the
+    join; no windows, no second shuffle, no Python.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), F.col(fp_col).alias("old_fp")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.col(fp_col).alias("new_fp")
+    )
+    joined = o.hint("merge").join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`snapshot_diff`; ``old_sql``/``new_sql``
+    must each yield ({key_col}, fp)."""
+    return f"""
+WITH o AS ({old_sql}), n AS ({new_sql})
+SELECT COALESCE(o.{key_col}, n.{key_col}) AS {key_col},
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.fp AS old_fp, n.fp AS new_fp
+FROM o FULL OUTER JOIN n ON o.{key_col} = n.{key_col}
+""".strip()
+
+
+HOLDOUT_VAL_FRAC = 0.10
+
+
+def holdout_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = HOLDOUT_VAL_FRAC,
+    id_col: str = "doc_id",
+    salt: str = "holdout",
+) -> DataFrame:
+    """Decontaminated train/validation split — the split a training run
+    must make BEFORE any loss is trusted: validation membership is a
+    deterministic hash threshold (no RNG — resumed runs keep identical
+    rows, `functions/sampling.py` contract), and any training document
+    that is a verified NEAR-DUPLICATE of a validation document is
+    quarantined out of train (Lee et al. 2021 §6.2 measure exactly this
+    leakage inflating eval scores). ``pairs`` is an undirected verified
+    near-dup pair list — in production the already-shipped
+    `dedup.minhash_near_dups` output.
+
+    Returns (doc_id, split) for EVERY document, split ∈ {'val', 'train',
+    'quarantined'}: val wins over quarantine (a val doc near-dupping
+    another val doc stays val — leakage is only train→val).
+
+    Scale design (100 TB): the val predicate is a row-local integer
+    compare (md5-u32 < frac·2³²); leak ids = the pair list joined against
+    the val side — pair-table-sized (duplicate-chain-bounded), NEVER
+    corpus-sized; its distinct is one bounded shuffle. The final
+    membership join is a merge-hinted left join on doc_id (leak set is
+    not statically broadcastable — it scales with duplicate mass).
+    Composes with the minhash pipeline's three shuffles; adds two bounded
+    ones of its own.
+    """
+    from .sampling import U32, hash_u32_col
+
+    threshold = F.lit(int(val_frac * U32))
+    is_val = hash_u32_col(F.col(id_col), salt) < threshold
+
+    base = docs.select(F.col(id_col).alias("doc_id"), is_val.alias("is_val"))
+    val_ids = base.filter("is_val").select("doc_id")
+
+    # Undirected pairs → both directions; keep the NON-val endpoint of any
+    # edge whose other endpoint is val. Both joins are pair-sized.
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    leak_ids = (
+        edges.join(val_ids.withColumnRenamed("doc_id", "v"), "v")
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+    )
+
+    split = (
+        F.when(F.col("is_val"), F.lit("val"))
+        .when(F.col("leak").isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        base.hint("merge")
+        .join(leak_ids.withColumn("leak", F.lit(1)), "doc_id", "left")
+        .select("doc_id", split.alias("split"))
+    )
+
+
+def holdout_split_sql(
+    pairs_sql: str,
+    val_frac: float = HOLDOUT_VAL_FRAC,
+    id_col: str = "doc_id",
+    salt: str = "holdout",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`holdout_split`; ``pairs_sql`` must yield
+    (id_a, id_b) — the same verified near-dup pair list."""
+    from .sampling import U32, hash_u32_sql
+
+    u = hash_u32_sql(id_col, salt)
+    th = int(val_frac * U32)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+base AS (SELECT {id_col} AS doc_id, ({u}) < {th} AS is_val FROM {table}),
+val_ids AS (SELECT doc_id FROM base WHERE is_val),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+),
+leak_ids AS (
+  SELECT DISTINCT e.u AS doc_id FROM edges e JOIN val_ids x ON e.v = x.doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.is_val THEN 'val'
+            WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+            ELSE 'train' END AS split
+FROM base b LEFT JOIN leak_ids l ON b.doc_id = l.doc_id
+""".strip()

@@ -466,3 +466,99 @@ def bpe_apply(
         (n_bounds + n_words).alias("n_bpe_tokens"),
         F.md5(enc).alias("enc_md5"),
     )
+
+
+def tokenizer_fertility(
+    docs: "DataFrame",
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-stratum tokenizer-efficiency report — the fertility table every
+    multilingual training run consults before fixing a token budget (how
+    many bytes/chars one tokenizer token buys per language decides the
+    effective per-language capacity; cf. the fertility analyses in the
+    XLM-R and ByT5 papers). Returns one row per stratum:
+
+    (stratum, n_docs, total_bytes, total_chars, ws_tokens, bpe_tokens,
+    bytes_per_bpe_x1e4, chars_per_ws_x1e4, bpe_per_ws_x1e4)
+
+    The three ratios are ×10⁴ scaled-integer divisions (DECIMAL(38,0)
+    products — exact in both engines, zero float accumulation; strata with
+    a zero denominator report 0, the engine-wide no-NULL-numerics rule).
+
+    Scale design (100 TB): byte/char/token counts are pure codegen per row
+    (``octet_length``/``length``/one pretokenizer ``regexp_extract_all``);
+    the ONLY exchange is the map-side-combined groupBy(stratum) whose
+    output is strata-count-sized. The ratio window math runs over one row
+    per stratum. No Python, no joins, one shuffle.
+    """
+    t = F.col(text_col)
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length(t)).cast("bigint").alias("total_bytes"),
+        F.sum(F.length(t)).cast("bigint").alias("total_chars"),
+        F.sum(token_count_col(t)).cast("bigint").alias("ws_tokens"),
+        F.sum(token_count_bpe_col(t)).cast("bigint").alias("bpe_tokens"),
+    )
+
+    def ratio(num: str, den: str, name: str) -> Column:
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.expr(
+                    f"CAST((CAST({num} AS DECIMAL(38,0)) * 10000)"
+                    f" div CAST({den} AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias(name)
+        )
+
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "ws_tokens",
+        "bpe_tokens",
+        ratio("total_bytes", "bpe_tokens", "bytes_per_bpe_x1e4"),
+        ratio("total_chars", "ws_tokens", "chars_per_ws_x1e4"),
+        ratio("bpe_tokens", "ws_tokens", "bpe_per_ws_x1e4"),
+    )
+
+
+def tokenizer_fertility_sql(
+    stratum_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`tokenizer_fertility` — identical counting
+    semantics (strlen = bytes, length = chars, same pretokenizer regex) and
+    HUGEINT integer division where Spark uses DECIMAL(38,0)."""
+    ws_tok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END AS BIGINT)"
+    )
+    bpe_tok = (
+        "CAST(CASE WHEN text IS NULL THEN 0 "
+        f"ELSE len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) END AS BIGINT)"
+    )
+    rat = (
+        lambda num, den, name: f"CAST(CASE WHEN {den} > 0 THEN "
+        f"(CAST({num} AS HUGEINT) * 10000) // CAST({den} AS HUGEINT) "
+        f"ELSE 0 END AS BIGINT) AS {name}"
+    )
+    return f"""
+WITH per AS (
+  SELECT {stratum_col}, COUNT(*) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         CAST(SUM({ws_tok}) AS BIGINT) AS ws_tokens,
+         CAST(SUM({bpe_tok}) AS BIGINT) AS bpe_tokens
+  FROM {table} GROUP BY {stratum_col}
+)
+SELECT {stratum_col}, n_docs, total_bytes, total_chars, ws_tokens, bpe_tokens,
+       {rat('total_bytes', 'bpe_tokens', 'bytes_per_bpe_x1e4')},
+       {rat('total_chars', 'ws_tokens', 'chars_per_ws_x1e4')},
+       {rat('bpe_tokens', 'ws_tokens', 'bpe_per_ws_x1e4')}
+FROM per
+""".strip()
