@@ -34,6 +34,9 @@ from text_extract_api_spark.synth import synthesize_interleaved_office
 HEADLINE = [
     "pipeline_extract_flat",
     "pipeline_extract_office",
+    "decontaminate_fuzzy",
+    "quality_char_entropy",
+    "batch_by_length",
     "temperature_mix",
     "tokenizer_fertility",
     "snapshot_diff",

@@ -201,3 +201,107 @@ def pack_sequences(
         (before % budget).cast("int").alias("seq_offset"),
         (end_seq - seq_id + 1).cast("int").alias("n_seqs_spanned"),
     )
+
+
+LEN_BUCKET_WIDTH = 64  # tokens per length bucket
+LEN_BUCKET_MAX = 7  # buckets 0..7; the last is open-ended
+LEN_BATCH_SIZE = 8  # docs per batch
+LEN_BATCH_SHARDS = 16  # parallelism of the batch-numbering windows
+
+
+def batch_by_length(
+    docs: DataFrame,
+    batch_size: int = LEN_BATCH_SIZE,
+    n_shards: int = LEN_BATCH_SHARDS,
+    bucket_width: int = LEN_BUCKET_WIDTH,
+    bucket_max: int = LEN_BUCKET_MAX,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency batching
+    every fixed-shape trainer/inference server runs (group sequences of
+    similar token length so a batch's padding waste is bounded by the
+    bucket width instead of the corpus length spread; the bucketed-batch
+    scheme of fairseq/T5 data loaders). Deterministic and RNG-free: batch
+    membership survives restarts bit-for-bit (`sampling.shard_assign`
+    contract).
+
+    Every document gets (doc_id, n_tokens, bucket, shard, batch_id,
+    pos_in_batch): ``bucket`` = min(n_tokens div bucket_width, bucket_max),
+    ``shard`` = md5-u32(doc_id) mod n_shards, and within each
+    (bucket, shard) cell documents are ordered by a second independent md5
+    (doc_id tiebreak) and cut into ``batch_size`` batches — so a batch
+    never mixes buckets and never crosses shards.
+
+    Scale design (100 TB): the token count and both hashes are pure
+    codegen per row; the ONLY shuffle is the (bucket, shard) window whose
+    partition count is buckets×n_shards and whose per-partition size is
+    cell-sized — n_shards is the explicit parallelism knob (grow it with
+    the corpus exactly like `shard_assign`; batches are shard-local so the
+    semantics don't change, only the numbering). No global sort, no
+    driver state.
+    """
+    from .sampling import hash_u32_col
+
+    n_tok = token_count_bpe_col(F.col(text_col)).cast("bigint")
+    bucket = F.least(
+        (n_tok / F.lit(bucket_width)).cast("bigint"), F.lit(bucket_max).cast("bigint")
+    ).cast("int")
+    shard = (hash_u32_col(F.col(id_col), "lbatch") % n_shards).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        bucket.alias("bucket"),
+        shard.alias("shard"),
+        hash_u32_col(F.col(id_col), "lorder").alias("_ord"),
+    )
+    w = W.partitionBy("bucket", "shard").orderBy("_ord", "doc_id")
+    rn = F.row_number().over(w) - F.lit(1)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "shard",
+        (rn / F.lit(batch_size)).cast("bigint").alias("batch_id"),
+        (rn % F.lit(batch_size)).cast("int").alias("pos_in_batch"),
+    )
+
+
+def batch_by_length_sql(
+    batch_size: int = LEN_BATCH_SIZE,
+    n_shards: int = LEN_BATCH_SHARDS,
+    bucket_width: int = LEN_BUCKET_WIDTH,
+    bucket_max: int = LEN_BUCKET_MAX,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`batch_by_length`."""
+    from .sampling import hash_u32_sql
+    from .textstats import BPE_TOKEN_RE
+
+    us = hash_u32_sql(id_col, "lbatch")
+    uo = hash_u32_sql(id_col, "lorder")
+    n_tok = (
+        "CAST(CASE WHEN text IS NULL THEN 0 "
+        f"ELSE len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) END AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         {n_tok} AS n_tokens,
+         CAST(LEAST({n_tok} // {bucket_width}, {bucket_max}) AS INTEGER) AS bucket,
+         CAST(({us}) % {n_shards} AS INTEGER) AS shard,
+         ({uo}) AS ord
+  FROM {table}
+),
+rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket, shard ORDER BY ord, doc_id
+  ) - 1 AS r
+  FROM base
+)
+SELECT doc_id, n_tokens, bucket, shard,
+       CAST(r // {batch_size} AS BIGINT) AS batch_id,
+       CAST(r % {batch_size} AS INTEGER) AS pos_in_batch
+FROM rn
+""".strip()

@@ -804,3 +804,107 @@ def substring_dup_spans(
             .alias("dup_frac"),
         )
     )
+
+
+DECON_FUZZY_T = 0.5
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = DECON_FUZZY_T,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents that are
+    NEAR-duplicates of any benchmark/eval document (GPT-3 appendix C /
+    Gao et al. 2021 practice — exact n-gram overlap, this engine's
+    `quality.ngram_decontaminate`, misses paraphrased or lightly-edited
+    leaks; the fuzzy pass catches what survives a rewording).
+
+    Returns (doc_id, n_bench_matches, max_jaccard, contaminated) for EVERY
+    corpus document: the count of distinct benchmark docs whose verified
+    shingle-Jaccard ≥ ``threshold``, the best match score (0.0 when none —
+    float outputs are never NULL), and the drop flag.
+
+    Scale design (100 TB corpus, benchmark ≪ corpus): both sides get the
+    shared Arrow minhash stage — the BENCHMARK side is eval-suite-sized,
+    so its band table is tiny; candidates come from a (band, band_key)
+    equi-join (the corpus never self-joins — unlike dedup, only
+    cross-side pairs are generated, so candidate volume is bounded by the
+    benchmark's bucket occupancy); verification is the row-local
+    array_intersect Jaccard. Both intermediates are scope-materialized
+    (persist → build → localCheckpoint(eager) → unpersist), and only the
+    VERIFIED cross pairs — benchmark-bounded, small — are checkpointed;
+    the corpus-sized spine join happens outside the scope. Final
+    membership join is merge-hinted (the per-doc match table scales with
+    contamination mass, not statically broadcastable in general).
+    """
+    base_c = _minhash_base(corpus, id_col, text_col, n)
+    base_b = _minhash_base(bench, id_col, text_col, n)
+
+    def _verified_pairs(bc: DataFrame, bb: DataFrame) -> DataFrame:
+        bands_c = bc.select(
+            F.col("id").alias("cid"),
+            F.posexplode("bands").alias("band", "band_key"),
+        )
+        bands_b = bb.select(
+            F.col("id").alias("bid"),
+            F.posexplode("bands").alias("band", "band_key"),
+        )
+        cand = (
+            bands_c.join(bands_b, ["band", "band_key"])
+            .select("cid", "bid")
+            .distinct()
+        )
+        a = bc.select(
+            F.col("id").alias("cid"),
+            F.col("sh").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        b = bb.select(
+            F.col("id").alias("bid"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        return (
+            cand.join(a, "cid")
+            .join(b, "bid")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    n_common.cast("double")
+                    / (F.col("n_a") + F.col("n_b") - n_common).cast("double"),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("cid", "bid", "jaccard")
+        )
+
+    pairs = _scoped_materialize(
+        base_c, lambda bc: _scoped_materialize(
+            base_b, lambda bb: _verified_pairs(bc, bb)
+        )
+    )
+    per_doc = pairs.groupBy("cid").agg(
+        F.countDistinct("bid").cast("bigint").alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .hint("merge")
+        .join(per_doc.withColumnRenamed("cid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_matches", F.lit(0).cast("bigint")).alias(
+                "n_bench_matches"
+            ),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_bench_matches", F.lit(0).cast("bigint")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

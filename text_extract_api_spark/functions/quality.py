@@ -676,3 +676,95 @@ def quality_percentile_gate(
         "q_thresh",
         (F.col("quality") >= F.col("q_thresh")).alias("keep"),
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-unigram Shannon entropy (nats) — the cheap
+    junk detector that catches what word-level rules miss: base64 blobs,
+    hex dumps and minified code score HIGH (near-uniform characters),
+    single-character floods and padding runs score LOW; natural language
+    sits in a stable mid band. Used alongside Gopher/C4 rules as an
+    orthogonal surface signal (the deterministic stand-in for the gzip
+    compression-ratio filter, whose codec would not oracle).
+
+    Returns (doc_id, n_chars, char_entropy) for EVERY document; empty
+    docs get (0, 0.0) — float outputs are never NULL.
+
+    Determinism contract: H = ln(L) − (Σ c·ln c)/L is computed with the
+    per-character term c·ln(c) quantized to BIGINT micro-nats BEFORE the
+    per-doc sum (`unigram_logppl` discipline), so the only corpus-order-
+    sensitive aggregation is exact integer arithmetic; ln runs on
+    identical integer-valued doubles in both engines and the final
+    expression carries the shared +1e-9 / round-6 epsilon.
+
+    Scale design (100 TB): chars = posexplode(split(text, '')) — a narrow
+    generate feeding a map-side-combined groupBy(doc_id, ch), so the
+    exchange carries per-doc DISTINCT characters (alphabet-bounded, ~1e2
+    per doc), not the character stream; the second groupBy(doc_id) rides
+    the same key prefix. Two bounded shuffles, pure codegen end to end —
+    no Python. (A row-local Arrow kernel computes the same H in one pass
+    with zero shuffles if the generate ever dominates; the codegen form
+    is kept because it is oracle-exact by construction.)
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    counts = (
+        base.filter(F.length("_t") > 0)
+        .select("doc_id", F.explode(F.split("_t", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    term_u = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e6), 0
+    ).cast("bigint")
+    per_doc = counts.select("doc_id", F.col("c"), term_u.alias("t_u")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.sum("t_u").alias("s_u"),
+    )
+    h = F.round(
+        F.log(F.col("n_chars").cast("double"))
+        - (F.col("s_u").cast("double") / F.lit(1e6))
+        / F.col("n_chars").cast("double")
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0).cast("bigint")).alias("n_chars"),
+            F.coalesce(h, F.lit(0.0)).alias("char_entropy"),
+        )
+    )
+
+
+def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`char_entropy` — identical char explode,
+    micro-nat quantization, and epsilon/rounding."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS doc_id, unnest(string_split(text, '')) AS ch
+  FROM {table} WHERE length(text) > 0
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT)) AS s_u
+  FROM counts GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(p.n_chars, 0) AS n_chars,
+       COALESCE(round(ln(CAST(p.n_chars AS DOUBLE))
+                      - (CAST(p.s_u AS DOUBLE) / 1000000.0)
+                        / CAST(p.n_chars AS DOUBLE) + 1e-9, 6), 0.0)
+         AS char_entropy
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
+""".strip()
