@@ -34,6 +34,7 @@ from text_extract_api_spark.synth import synthesize_interleaved_office
 HEADLINE = [
     "pipeline_extract_flat",
     "pipeline_extract_office",
+    "bigram_logppl",
     "decontaminate_fuzzy",
     "quality_char_entropy",
     "batch_by_length",

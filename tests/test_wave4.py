@@ -89,3 +89,26 @@ def test_batch_by_length_deterministic_across_runs(spark):
     a = sorted(map(tuple, batch_by_length(_docs(spark, rows)).collect()))
     b = sorted(map(tuple, batch_by_length(_docs(spark, rows)).collect()))
     assert a == b
+
+
+def test_bigram_logppl_templated_text_scores_low(spark):
+    from text_extract_api_spark.functions.quality import bigram_logppl
+
+    # docs 1-3: the same repeated bigram pattern (high bigram counts);
+    # doc 4: the same unigrams shuffled into unseen bigram contexts.
+    rows = [
+        (1, "click here to buy click here to buy"),
+        (2, "click here to buy click here to buy"),
+        (3, "click here to buy click here to buy"),
+        (4, "buy to click here buy here click to"),
+        (5, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logppl(_docs(spark, rows)).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["bigram_logppl"] == out[2]["bigram_logppl"]
+    # seen-bigram text is more probable than shuffled-unigram text
+    assert out[1]["bigram_logppl"] < out[4]["bigram_logppl"]
+    assert out[5]["n_tokens"] == 0 and out[5]["bigram_logppl"] == 0.0

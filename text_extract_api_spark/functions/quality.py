@@ -768,3 +768,165 @@ SELECT d.{id_col} AS doc_id,
          AS char_entropy
 FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
 """.strip()
+
+
+BIGRAM_BOS = "\x02"  # context marker for a document's first token; a
+# control char that whitespace-split web tokens do not start with
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def bigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity — one order closer to CCNet's
+    actual KenLM scorer than :func:`unigram_logppl`: per-token probability
+    p(w|u) = λ·(c(uw)+1)/(c(u·)+V) + (1−λ)·(c(w)+1)/(N+V), the Jelinek-
+    Mercer interpolation of a Laplace bigram with the Laplace unigram
+    (the standard backoff-free smoothing; λ=0.75). Document score =
+    mean −ln p over its token stream, first token conditioned on a BOS
+    marker. Repetitive/templated text scores LOW under the bigram term
+    even when its unigrams are rare — the signal the unigram LM misses.
+
+    Returns (doc_id, n_tokens, bigram_logppl) for EVERY document
+    (0-token docs: (0, 0.0) — float outputs never NULL).
+
+    Determinism contract: the interpolated p is evaluated with the exact
+    same association order in both engines ((λ·a)/b + ((1−λ)·c)/d over
+    identical integer-valued doubles), then quantized to BIGINT micro-nats
+    BEFORE the per-document sum (`unigram_logppl` discipline) — no
+    partition-order float accumulation anywhere.
+
+    Scale design (100 TB): bigram strings are built ROW-LOCAL (one
+    transform over the attribute-bound token array — no O(len²) Generate
+    carry, no-CSE trap avoided); the corpus is exchanged once as distinct
+    (doc, bigram) pairs with map-side combine. EVERY LM statistic — bigram
+    counts, context totals, unigram totals, N, V — derives from that one
+    (bg, c2) table (each token occurs exactly once as a bigram's second
+    element, so Σc2 by cur IS the unigram count): three vocabulary-bounded
+    shuffles, never a second corpus pass. LM joins are merge-hinted
+    (vocabulary-scaled sides must not statically broadcast; AQE downgrades
+    when small). Totals are a one-row broadcast. The KenLM-shaped upgrade
+    path (higher orders, discount smoothing) only adds more such
+    vocabulary-bounded tables.
+    """
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT).alias("w"),
+    )
+    bgs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w")),
+                lambda i: F.concat(
+                    F.when(i == 1, F.lit(BIGRAM_BOS)).otherwise(
+                        F.element_at(F.col("w"), (i - 1).cast("int"))
+                    ),
+                    F.lit(" "),
+                    F.element_at(F.col("w"), i.cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    )
+    tf2 = bgs.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    lm = tf2.groupBy("bg").agg(F.sum("tf").cast("bigint").alias("c2")).select(
+        "bg",
+        "c2",
+        F.expr("split_part(bg, ' ', 1)").alias("prev"),
+        F.expr("split_part(bg, ' ', 2)").alias("cur"),
+    )
+    ctx = lm.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("cu"))
+    uni = lm.groupBy("cur").agg(F.sum("c2").cast("bigint").alias("cv"))
+    totals = uni.agg(
+        F.sum("cv").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    lam = F.lit(float(BIGRAM_LAMBDA))
+    p = (lam * (F.col("c2") + F.lit(1)).cast("double")) / (
+        F.col("cu") + F.col("v")
+    ).cast("double") + (
+        (F.lit(1.0) - lam) * (F.col("cv") + F.lit(1)).cast("double")
+    ) / (F.col("n") + F.col("v")).cast("double")
+    logp = (
+        lm.join(ctx.hint("merge"), "prev")
+        .join(uni.hint("merge"), "cur")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            F.round(F.log(p) * F.lit(float(LOGP_SCALE)), 0)
+            .cast("bigint")
+            .alias("logp_u"),
+        )
+    )
+    per_doc = (
+        tf2.join(logp.hint("merge"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_u")).alias("nll_u"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(
+                F.round(
+                    -F.col("nll_u").cast("double")
+                    / (F.col("n_tokens").cast("double") * F.lit(float(LOGP_SCALE))),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("bigram_logppl"),
+        )
+    )
+
+
+def bigram_logppl_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`bigram_logppl` — identical bigram stream
+    (BOS marker, single-space join), interpolation association order, and
+    micro-nat quantization."""
+    lam = BIGRAM_LAMBDA
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\r\\n]+') AS w
+  FROM {table} WHERE length(trim(text)) > 0
+),
+bgs AS (
+  SELECT doc_id,
+         (CASE WHEN i = 1 THEN chr(2) ELSE w[CAST(i AS INT) - 1] END)
+           || ' ' || w[CAST(i AS INT)] AS bg
+  FROM words CROSS JOIN UNNEST(range(1, CAST(len(w) AS BIGINT) + 1)) AS t(i)
+),
+tf2 AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2),
+lm AS (
+  SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2,
+         split_part(bg, ' ', 1) AS prev, split_part(bg, ' ', 2) AS cur
+  FROM tf2 GROUP BY bg
+),
+ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS cu FROM lm GROUP BY 1),
+uni AS (SELECT cur, CAST(SUM(c2) AS BIGINT) AS cv FROM lm GROUP BY 1),
+tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+logp AS (
+  SELECT lm.bg,
+         CAST(round(ln(
+           ({lam} * CAST(lm.c2 + 1 AS DOUBLE)) / CAST(ctx.cu + tot.v AS DOUBLE)
+           + ({1.0 - lam} * CAST(uni.cv + 1 AS DOUBLE)) / CAST(tot.n + tot.v AS DOUBLE)
+         ) * 1000000.0, 0) AS BIGINT) AS logp_u
+  FROM lm JOIN ctx USING (prev) JOIN uni USING (cur) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT tf2.doc_id, CAST(SUM(tf2.tf) AS BIGINT) AS n_tokens,
+         SUM(tf2.tf * logp.logp_u) AS nll_u
+  FROM tf2 JOIN logp USING (bg) GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(round(-CAST(p.nll_u AS DOUBLE)
+                      / (CAST(p.n_tokens AS DOUBLE) * 1000000.0), 6), 0.0)
+         AS bigram_logppl
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
+""".strip()
