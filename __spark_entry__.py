@@ -1584,6 +1584,42 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation (readStream → withWatermark →
+    session_window(gap) groupBy → append sink, drained availableNow) — the
+    stateful merge-as-you-go sessionization a clickstream pipeline runs,
+    where the batch `events_sessionize` is the backfill twin.
+
+    Session semantics: an event extends its session to [ts, ts+gap]; two
+    events merge iff the gap between them is ≤ 30 min (Spark's
+    session_window merge is INCLUSIVE at the exact boundary — pinned by
+    pytest; the oracle breaks at diff > 1800 s, the same predicate as the
+    batch operator). Append emits a session once the watermark
+    (max event time − delay) passes its END (= last event + gap); trailing
+    open sessions are withheld — that withholding is the semantics under
+    test, reproduced by the oracle's max(ts)-derived cutoff. The events
+    table arrives as one file, so the availableNow drain is one batch and
+    no event is late-dropped mid-drain (the same single-source contract as
+    `streaming_windowed_counts`). State at scale: one open session per
+    active (user, window) inside the delay horizon — bounded by user
+    activity, the point of session windows."""
+    ev = spark.readStream.schema(_EVENTS_DDL).parquet(f"{sf_dir}/events.parquet*")
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain_stream(
+        agg.writeStream.format("memory").outputMode("append"), spark
+    )
+
+
 def q_page_explode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 100.0)).cast("int")
@@ -3497,12 +3533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
         "office_extract": q_office_extract,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-        "tpch_q6_revenue": q_tpch_q6_revenue,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
         "events_props_extract": q_events_props_extract,
         # r4-new driver-checkable streaming rows — must stay in-window
+        "streaming_sessionize": q_streaming_sessionize,
         "streaming_source_totals": q_streaming_source_totals,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         # --- 51+: rotated out this round to fit the new ops: the two
@@ -3513,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_flat": q_pipeline_extract_flat,
         "pipeline_extract_office": q_pipeline_extract_office,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
         "vocab_topk": q_vocab_topk,
         "length_quantiles": q_length_quantiles,
@@ -3873,6 +3910,36 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
 FROM events
 GROUP BY 1, 2
 HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+""".strip(),
+        # session_window contract: an event merges into a session when its
+        # ts <= the session's current end (INCLUSIVE — a gap of exactly
+        # 30 min still merges, pinned by pytest), i.e. break at > 1800 s,
+        # the same predicate as the batch operator; end = last event +
+        # gap; append emits once end <= watermark = max(ts) - delay
+        "streaming_sessionize": """
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+ord AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ord
+),
+agg AS (
+  SELECT user_id,
+         CAST(MIN(ts) AS VARCHAR) AS session_start,
+         CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+         MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg WHERE end_ts <= (SELECT w FROM wm)
 """.strip(),
         "dsir_select": dsir_scores_sql("source = 'src1'"),
         "bpe_apply": _bpe_apply_sql(),

@@ -275,3 +275,41 @@ def test_windowed_counts_watermark_boundary(spark, tmp_path):
         for r in q_streaming_windowed_counts(spark, d).collect()
     )
     assert got == [("2024-01-01 00:00:00", "click", 1)]
+
+
+def test_streaming_sessionize_gap_merge_and_boundary(spark, tmp_path):
+    """Pin session_window semantics the oracle encodes: events merge iff
+    gap <= 30 min (INCLUSIVE at the exact boundary — a 1800 s gap still
+    merges); session end = last event + gap; emission iff
+    end <= watermark = max(ts) - delay."""
+    import datetime as dt
+
+    from __spark_entry__ import _EVENTS_DDL, q_streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # user 1: two events 29 min apart -> ONE session (strict < gap)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=29), 1, "click", 1.0, "{}"),
+        # user 2: exactly 30 min apart -> still ONE session (inclusive
+        # merge), 31 min after that -> a second session
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30), 2, "click", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=61), 2, "click", 1.0, "{}"),
+        # late anchor event: pushes the watermark far enough that every
+        # session above is closed, while its own session stays open
+        (5, t0 + dt.timedelta(hours=3), 3, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, _EVENTS_DDL).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q_streaming_sessionize(spark, d).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:59:00", 2),
+        (2, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2),
+        (2, "2024-01-01 01:01:00", "2024-01-01 01:31:00", 1),
+    ]  # user 3's trailing session (ends 03:30 > watermark 02:30) withheld
