@@ -3334,6 +3334,123 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_extract_flat(spark, SF_SMOKE)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS PQ family):
+    m=4 per-subspace Lloyd codebooks (hash-spread deterministic seeding,
+    the kmeans_assign contract), every vector stored as 4 int codes (64×
+    smaller than float32 — at 10^12 vectors the difference between a
+    RAM-resident candidate scan and a disk-bound one), queries answered by
+    asymmetric distance: a driver-side m×k table of micro-unit-quantized
+    integer distances, m table lookups + an exact integer sum per
+    candidate. Store built once per corpus fingerprint. Oracle unrolls all
+    m Lloyd chains as CTE layers (semdedup pattern)."""
+    from text_extract_api_spark.functions.similarity import (
+        build_pq_store,
+        pq_topk_stored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None:
+        return spark.createDataFrame([], "vec_id bigint, adc_dist_u bigint")
+    store, ok = _store_path("pqann", sf_dir, "pq")
+    _ensure_store(lambda tmp: build_pq_store(emb, tmp, dim=EMB_DIMS), store, ok)
+    return pq_topk_stored(spark, store, query_vec, k=ANN_K)
+
+
+def _ann_pq_sql() -> str:
+    """PQ-ADC oracle: PQ_M per-subspace Lloyd chains unrolled as CTE layers
+    (the _kmeans_cte_sql pattern over vector SLICES), each ending in an
+    encode CTE (argmin centroid per vector, round-9 distances, ties to the
+    lowest cid) and a query-slice ADC table quantized to BIGINT micro-units
+    — the final per-vector distance is an exact integer sum of PQ_M
+    lookups, identical to the engine's literal-array form."""
+    from text_extract_api_spark.functions.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    dsub = EMB_DIMS // PQ_M
+    sq = (
+        "round(list_sum(list_transform(list_zip(e.v, c.cv), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))), 9)"
+    )
+    parts = []
+    for j in range(PQ_M):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"""e{j} AS (
+  SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c{j}_0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM e{j} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+)"""
+        )
+        prev = f"c{j}_0"
+        for it in range(1, PQ_ITERS + 1):
+            parts.append(
+                f"""a{j}_{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
+    FROM e{j} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{j}_{it} AS (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[t.i]), 6) AS m
+  FROM a{j}_{it} a JOIN e{j} e USING (vec_id) CROSS JOIN range(1, {dsub + 1}) t(i)
+  GROUP BY a.cid, t.i
+),
+c{j}_{it} AS (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM u{j}_{it} GROUP BY cid
+  ) n USING (cid)
+)"""
+            )
+            prev = f"c{j}_{it}"
+        parts.append(
+            f"""enc{j} AS (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
+    FROM e{j} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+q{j} AS (
+  SELECT list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+dq{j} AS (
+  SELECT c.cid,
+         CAST(round(list_sum(list_transform(list_zip(q.v, c.cv),
+              s -> (s[1] - s[2]) * (s[1] - s[2]))) * 1000000.0, 0) AS BIGINT) AS du
+  FROM {prev} c CROSS JOIN q{j} q
+)"""
+        )
+    encs = " JOIN ".join(
+        [f"enc0"] + [f"enc{j} USING (vec_id)" for j in range(1, PQ_M)]
+    )
+    dq_joins = " ".join(
+        f"JOIN dq{j} ON dq{j}.cid = enc{j}.code{j}" for j in range(PQ_M)
+    )
+    adc = " + ".join(f"dq{j}.du" for j in range(PQ_M))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT enc0.vec_id, CAST({adc} AS BIGINT) AS adc_dist_u
+FROM {encs} {dq_joins}
+ORDER BY adc_dist_u ASC, enc0.vec_id ASC
+LIMIT {ANN_K}"""
+    )
+
+
 def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity (Jelinek-Mercer λ=0.75 over
     Laplace bigram+unigram) — one order closer to CCNet's KenLM scorer
@@ -3487,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
+        "ann_pq_topk": q_ann_pq_topk,
         "bigram_logppl": q_bigram_logppl,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "quality_char_entropy": q_quality_char_entropy,
@@ -3527,7 +3645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_resize": q_media_image_resize,
         "media_audio_features": q_media_audio_features,
         "binary_ingest_sniff": q_binary_ingest_sniff,
-        "base64_ingest": q_base64_ingest,
         # kernel changed this round (rowmajor Arrow minhash) — keep its
         # driver check in-window ahead of r2-green untouched entries
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
@@ -3551,6 +3668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
+        # base64_ingest rotated out (r2-green; unbase64 codegen shape is a
+        # strict subset of in-window binary_ingest_sniff's transport leg)
+        "base64_ingest": q_base64_ingest,
         "vocab_topk": q_vocab_topk,
         "length_quantiles": q_length_quantiles,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -3861,6 +3981,7 @@ WHERE d.source <> 'src1'
     from text_extract_api_spark.functions.quality import bigram_logppl_sql
 
     return {
+        "ann_pq_topk": _ann_pq_sql(),
         "bigram_logppl": bigram_logppl_sql(),
         "decontaminate_fuzzy": decon_fuzzy_sql,
         "quality_char_entropy": char_entropy_sql(),

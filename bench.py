@@ -83,6 +83,7 @@ HEADLINE = [
     "tfidf_topk_terms",
     "url_canonicalize",
     "ann_quantized_topk",
+    "ann_pq_topk",
     "ann_cosine_topk",
     "ann_batch_topk",
     "ann_lsh_topk",
