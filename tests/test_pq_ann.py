@@ -59,3 +59,32 @@ def test_pq_store_deterministic_rebuild(spark, tmp_path):
     cb1 = json.load(open(f"{s1}/codebook.json"))
     cb2 = json.load(open(f"{s2}/codebook.json"))
     assert cb1 == cb2
+
+
+def test_pq_rerank_lifts_recall_over_pure_adc(spark, tmp_path):
+    dim, k = 16, 10
+    emb = _emb(spark, n=200, dim=dim)
+    store = str(tmp_path / "pq")
+    build_pq_store(emb, store, m=4, k=PQ_K, iters=2, dim=dim)
+    q = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    truth = {
+        vid
+        for _, vid in sorted(
+            (
+                (
+                    sum((float(a) - float(b)) ** 2 for a, b in zip(q, r["embedding"])),
+                    r["vec_id"],
+                )
+                for r in emb.collect()
+            )
+        )[:k]
+    }
+    pure = {r["vec_id"] for r in pq_topk_stored(spark, store, q, k=k).collect()}
+    refined = {
+        r["vec_id"]
+        for r in pq_topk_stored(spark, store, q, k=k, rerank=64, emb=emb).collect()
+    }
+    assert len(truth & refined) >= len(truth & pure)
+    # with the candidate pool 6x the answer size, the refine stage should
+    # recover the true neighborhood almost entirely on this smooth corpus
+    assert len(truth & refined) >= int(0.8 * k)

@@ -637,8 +637,8 @@ def lsh_topk_stored(
 
 
 # ------------------------------------------------------ product quantization
-PQ_M = 4  # subspaces
-PQ_K = 8  # centroids per subspace (3-bit codes at demo scale)
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes at demo scale; FAISS ships 256)
 PQ_ITERS = 2  # Lloyd rounds per subspace (KMEANS_ITERS contract)
 
 
@@ -692,8 +692,8 @@ def build_pq_store(
     """Train and materialize a product-quantization index (Jégou et al.
     2011; the FAISS PQ family): the vector splits into ``m`` subspaces,
     each gets its own ``k``-centroid Lloyd codebook, and every vector is
-    stored as m small codes — here 4 codes ≈ 4 B against 256 B of float32,
-    a 64× compression. At 10^12 vectors that factor is what makes the
+    stored as m small codes — here 8 4-bit codes = 4 B against 256 B of
+    float32, a 64× compression. At 10^12 vectors that factor is what makes the
     candidate scan RAM-resident; the float corpus is only ever touched at
     build time.
 
@@ -748,8 +748,16 @@ def build_pq_store(
         json.dump({"m": m, "k": k, "dsub": dsub, "codebooks": codebooks}, f)
 
 
+PQ_RERANK = 128  # ADC candidates re-ranked exactly (FAISS's refine stage)
+
+
 def pq_topk_stored(
-    spark, store_path: str, query_vec: list[float], k: int = 20,
+    spark,
+    store_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    rerank: int = 0,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ store: the query stays
     float, and per subspace a k-entry distance table (query slice vs each
@@ -760,7 +768,14 @@ def pq_topk_stored(
     sum is exact integer arithmetic — bit-identical in numpy-free codegen,
     the driver and the DuckDB oracle, in any accumulation order. The scan
     reads m int32 columns; the final order-by is the only exchange and it
-    carries (vec_id, one bigint)."""
+    carries (vec_id, one bigint).
+
+    ``rerank > 0`` adds FAISS's refine stage: the top-``rerank`` ADC
+    candidates join back to the float corpus (``emb``) and re-rank by
+    EXACT L2 (micro-unit-quantized) — ADC's quantization error decides
+    only which ``rerank`` candidates are considered, not their final
+    order, which lifts recall toward exact while still scanning codes.
+    The join side is ``rerank`` rows — broadcast by construction."""
     import decimal
     import json
     import os
@@ -788,4 +803,25 @@ def pq_topk_stored(
         term = F.element_at(tbl, F.col(f"c{j}") + 1)
         adc = term if adc is None else adc + term
     scored = codes.select("vec_id", adc.alias("adc_dist_u"))
-    return scored.orderBy(F.asc("adc_dist_u"), F.asc("vec_id")).limit(k)
+    if rerank <= 0 or emb is None:
+        return scored.orderBy(F.asc("adc_dist_u"), F.asc("vec_id")).limit(k)
+    cand = scored.orderBy(F.asc("adc_dist_u"), F.asc("vec_id")).limit(rerank)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            q,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(l2 * F.lit(1e6), 0).cast("bigint").alias("dist_u"),
+        )
+    )
+    return exact.orderBy(F.asc("dist_u"), F.asc("vec_id")).limit(k)
