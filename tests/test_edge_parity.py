@@ -41,6 +41,9 @@ EDGE_SENSITIVE = [
     "dedup_substrings",
     "quality_unigram_logppl",
     "corpus_datacard",
+    # r4 wave 3: the bigram LM's Arrow TF stage re-tokenizes in Python —
+    # pin its parity on control-whitespace / empty-token shapes
+    "bigram_logppl",
 ]
 
 
