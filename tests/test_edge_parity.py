@@ -41,9 +41,11 @@ EDGE_SENSITIVE = [
     "dedup_substrings",
     "quality_unigram_logppl",
     "corpus_datacard",
-    # r4 wave 3: the bigram LM's Arrow TF stage re-tokenizes in Python —
-    # pin its parity on control-whitespace / empty-token shapes
+    # r4 wave 3: the bigram LM's and the classifier's Arrow feature stages
+    # re-tokenize in Python — pin their parity on control-whitespace /
+    # empty-token shapes
     "bigram_logppl",
+    "quality_classifier",
 ]
 
 

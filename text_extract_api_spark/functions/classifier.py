@@ -65,31 +65,56 @@ def _feature_tf(
         label_pred.cast("int").alias("y"),
     )
     spine = base.select("doc_id", "y")
-    tf = (
-        base.filter(F.length(F.trim(F.col("_text"))) > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("_text"))), WS_SPLIT)
-            ).alias("word"),
-        )
-        .select(
-            "doc_id",
-            (hash_u32_col(F.col("word"), salt) % n_buckets).alias("bucket"),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    # binary presence: the groupBy(doc, bucket) already collapses repeats,
-    # so every surviving row IS a present feature — x_u is the constant
+    # binary presence: distinct buckets per document — x_u is the constant
     # 1e6 micro (feature value 1.0). Presence caps each feature's
     # per-document mass independent of term frequency AND document length,
     # which is what lets one learning rate fit every document (raw-tf
     # measured divergent: long docs dominate; mean-pooled tf measured
     # 30× too slow to converge: feature scale shrinks with doc length).
-    x = tf.select(
-        "doc_id", "bucket", F.lit(CLF_SCALE).cast("bigint").alias("x_u")
-    )
+    #
+    # The distinct-bucket set is WITHIN-document, so it never needed the
+    # r4-wave-2 explode + groupBy(doc, bucket) exchange over the whole
+    # token stream — one Arrow ``mapInPandas`` stage builds it row-local
+    # (bigram_logppl/_minhash_base discipline; bit-identical buckets, the
+    # Python md5-u32 replicates hash_u32_col exactly). A per-batch
+    # word→bucket memo collapses the natural-language vocabulary skew:
+    # repeated words hash once per Arrow batch, not once per occurrence.
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    x_schema = f"doc_id {id_type}, bucket bigint, x_u bigint"
+    ws = _re.compile(WS_SPLIT)
+    salt_b = (":" + salt).encode()
+    md5 = hashlib.md5
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids: list = []
+            bks: list[int] = []
+            for did, txt in zip(pdf["doc_id"].values, pdf["_text"].values):
+                if txt is None or not txt.strip(" "):
+                    continue
+                buckets = set()
+                for w in ws.split(txt.lower().strip(" ")):
+                    b = memo.get(w)
+                    if b is None:
+                        b = memo[w] = (
+                            int(md5(w.encode() + salt_b).hexdigest()[:8], 16)
+                            % n_buckets
+                        )
+                    buckets.add(b)
+                ids.extend([did] * len(buckets))
+                bks.extend(buckets)
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": bks, "x_u": [CLF_SCALE] * len(bks)}
+            ).astype({"bucket": "int64", "x_u": "int64"}, errors="ignore")
+
+    x = base.select("doc_id", "_text").mapInPandas(op, x_schema)
     return spine, x
 
 
