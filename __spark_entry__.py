@@ -3509,6 +3509,51 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_SEM_T = 0.35  # max-cosine p88 on the synthetic corpus — a real tail
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the third leg of the family:
+    exact 8-gram (decontaminate_ngrams) catches verbatim leaks, MinHash
+    Jaccard (decontaminate_fuzzy) catches near-verbatim ones, embedding
+    cosine catches PARAPHRASED ones that share no surface form at all.
+    vec_id % 7 == 0 stands in for the eval suite (the ngram pass's split
+    convention, on the embeddings table). Benchmark side = one bounded
+    driver collect (eval-suite-sized by construction); corpus side = one
+    row-local Arrow matmul scan, zero shuffles."""
+    from text_extract_api_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 7 == 0),
+        threshold=DECON_SEM_T,
+    )
+
+
+def _decon_semantic_sql() -> str:
+    dot = _vec_dot_sql("c.embedding", "b.embedding")
+    nc = _vec_dot_sql("c.embedding", "c.embedding")
+    nb = _vec_dot_sql("b.embedding", "b.embedding")
+    return f"""
+WITH s AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         round(({dot}) / (sqrt({nc}) * sqrt({nb})), 4) AS score
+  FROM embeddings c, embeddings b
+  WHERE c.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
+    AND ({nc}) > 0 AND ({nb}) > 0
+),
+r AS (
+  SELECT vec_id, bench_id, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, bench_id ASC) AS rn
+  FROM s
+)
+SELECT vec_id, bench_id, score FROM r WHERE rn = 1 AND score >= {DECON_SEM_T}
+""".strip()
+
+
 def q_quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-unigram entropy (nats) — the deterministic stand-in
     for the gzip compression-ratio junk filter: base64/hex blobs score
@@ -3695,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window top-k, and events_sessionize -----------------------------
         "pipeline_extract_flat": q_pipeline_extract_flat,
         "pipeline_extract_office": q_pipeline_extract_office,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -4014,6 +4060,7 @@ WHERE d.source <> 'src1'
         "ann_pq_topk": _ann_pq_sql(),
         "bigram_logppl": bigram_logppl_sql(),
         "decontaminate_fuzzy": decon_fuzzy_sql,
+        "decontaminate_semantic": _decon_semantic_sql(),
         "quality_char_entropy": char_entropy_sql(),
         "batch_by_length": batch_by_length_sql(),
         "temperature_mix": temperature_mix_sql(ws_tok),

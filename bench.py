@@ -36,6 +36,7 @@ HEADLINE = [
     "pipeline_extract_office",
     "bigram_logppl",
     "decontaminate_fuzzy",
+    "decontaminate_semantic",
     "quality_char_entropy",
     "batch_by_length",
     "temperature_mix",

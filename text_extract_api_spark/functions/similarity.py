@@ -825,3 +825,93 @@ def pq_topk_stored(
         )
     )
     return exact.orderBy(F.asc("dist_u"), F.asc("vec_id")).limit(k)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus vector
+    whose cosine similarity to ANY benchmark (eval-suite) vector reaches
+    ``threshold`` — the semantic third of the decontamination family
+    (exact 8-gram: quality.ngram_decontaminate; fuzzy MinHash-Jaccard:
+    dedup.fuzzy_decontaminate). Paraphrased or translated eval leakage
+    preserves neither n-grams nor shingles but does preserve embedding
+    neighborhoods — this is the pass that catches it (the practice in
+    recent LLM data reports; same observation as SemDeDup's, pointed
+    cross-corpus instead of within-corpus).
+
+    Returns (vec_id, bench_id, score): one row per CONTAMINATED corpus
+    vector — its max-cosine benchmark neighbor (ties → lowest bench id)
+    and the rounded-4dp score. Clean vectors are absent (the caller
+    anti-joins to drop flagged docs, exactly like the n-gram pass).
+
+    Scale design (100 TB): the benchmark side is an eval suite — bounded
+    by construction (10³–10⁵ rows), never corpus-scaled — so it rides the
+    kmeans-centroid/BPE-merge pattern: ONE bounded driver collect, then a
+    closure-captured numpy matrix. The corpus is touched in ONE row-local
+    Arrow ``mapInPandas`` scan (per-batch matmul against the benchmark
+    matrix — the cosine_topk_batch kernel with max instead of top-k);
+    zero shuffles, zero joins, output bounded by the contamination rate.
+    If the eval battery ever outgrows a driver collect, the same kernel
+    takes the benchmark as a broadcast DataFrame instead — the scan shape
+    is unchanged. Zero-norm vectors (cosine undefined): benchmark-side
+    excluded at collect, corpus-side scored -inf — never flagged — both
+    mirrored by the oracle's norm-positive predicates.
+
+    Determinism: scores rounded with the multiply-floor half-away form
+    (cosine_topk_batch contract); argmax resolved on ROUNDED scores with
+    the benchmark matrix sorted by id, so the first-hit argmax IS the
+    lowest-id tiebreak in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        benchmark.select(id_col, vec_col)
+        .orderBy(id_col)  # first-occurrence argmax == lowest-id tiebreak
+        .collect()
+    )
+    bench = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in rows
+        if any(float(x) != 0.0 for x in r[vec_col])
+    ]
+    out_schema = "vec_id long, bench_id long, score double"
+    if not bench:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    bids = np.array([b for b, _ in bench], dtype=np.int64)
+    B = np.array([v for _, v in bench], dtype=np.float64)
+    bn = np.sqrt((B * B).sum(axis=1))
+    t = float(threshold)
+
+    def _scan(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = vn[:, None] * bn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(
+                    denom == 0.0, -np.inf, (V @ B.T) / np.where(denom == 0.0, 1.0, denom)
+                )
+            S = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+            best = S.max(axis=1)
+            hit = best >= t
+            if not hit.any():
+                continue
+            j = S[hit].argmax(axis=1)  # first max = lowest bench id (sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[hit],
+                    "bench_id": bids[j],
+                    "score": best[hit],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_scan, out_schema)
