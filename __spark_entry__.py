@@ -2171,6 +2171,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_soft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional soft sampling (FineWeb-Edu retention shape):
+    every document admitted with probability = its round-4dp composite
+    quality score, via the deterministic md5-threshold draw — a calibrated
+    long tail of mid-quality text instead of a percentile cliff. Row-local
+    codegen predicate, zero shuffles; monotone in score (re-scoring can
+    only add docs)."""
+    from text_extract_api_spark.functions.sampling import soft_sample
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+    return soft_sample(scored, F.col("quality"))
+
+
+def _sample_soft_sql() -> str:
+    from text_extract_api_spark.functions.sampling import soft_sample_sql
+
+    return (
+        f"WITH q AS ({_quality_sql()})\n"
+        f"SELECT doc_id, quality FROM q WHERE "
+        + soft_sample_sql("quality")
+    )
+
+
 SAMPLE_FRACS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2}
 SAMPLE_DEFAULT = 0.1
 QUOTA_PER_SOURCE = 40
@@ -3795,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
+        "sample_soft_quality": q_sample_soft_quality,
         "corpus_mix_weights": q_corpus_mix_weights,
     }
 
@@ -4353,6 +4379,7 @@ SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerp
 FROM documents
 """.strip(),
         "stratified_sample": _stratified_sample_oracle(),
+        "sample_soft_quality": _sample_soft_sql(),
         "corpus_mix_weights": _mix_weights_oracle(),
         "dedup_jaccard_pairs": jaccard_full,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",

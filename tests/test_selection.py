@@ -201,3 +201,27 @@ def test_quality_classifier_learns_separable_labels(spark):
     )
     # the token-less doc gets the bias-only prior (more 0s than 1s -> < 0.5)
     assert out[99]["prob"] < 0.5
+
+
+def test_soft_sample_extremes_and_monotonicity(spark):
+    from pyspark.sql import functions as F
+
+    from text_extract_api_spark.functions.sampling import soft_sample
+
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "doc_id bigint, p double"
+    )
+    assert soft_sample(df.withColumn("p", F.lit(0.0)), F.col("p")).count() == 0
+    assert soft_sample(df.withColumn("p", F.lit(1.0)), F.col("p")).count() == 100
+    # out-of-range scores clamp instead of corrupting the threshold
+    assert soft_sample(df.withColumn("p", F.lit(7.5)), F.col("p")).count() == 100
+    assert soft_sample(df.withColumn("p", F.lit(-3.0)), F.col("p")).count() == 0
+    # monotone in p for fixed keys: raising every score only ADDS rows
+    lo = {r["doc_id"] for r in soft_sample(df, F.col("p")).collect()}
+    hi = {
+        r["doc_id"]
+        for r in soft_sample(
+            df, F.least(F.lit(1.0), F.col("p") + 0.3)
+        ).collect()
+    }
+    assert lo <= hi and len(lo) < len(hi)

@@ -360,3 +360,45 @@ SELECT {stratum_col}, n_docs, total_tokens,
          ELSE 0 END AS BIGINT) AS upsample_x10k
 FROM t
 """.strip()
+
+
+def soft_sample(
+    scored: DataFrame,
+    prob,
+    key_col: str = "doc_id",
+    salt: str = "soft",
+) -> DataFrame:
+    """Score-proportional soft sampling: keep each row with probability
+    ``prob`` (a per-row [0,1] Column), deterministically — the FineWeb-Edu
+    retention pattern where a quality score sets each document's admission
+    probability instead of a hard percentile cut, preserving a calibrated
+    long tail of mid-quality text rather than a cliff.
+
+    keep ⟺ u32(md5(key||':'||salt)) < floor(clamp(prob, 0, 1) · 2³²)
+
+    Determinism contract: the draw is the engine-wide md5-threshold
+    sampler (zero RNG — restart/backfill stable), and the threshold is
+    floor() of a double both engines computed bit-identically (callers
+    feed round-4dp scores, the quality_score contract), so the predicate
+    is an exact integer compare. Monotone in prob for a fixed key: raising
+    a document's score can only ADD it to the sample (a curriculum
+    re-score never silently drops previously admitted docs).
+
+    Scale design (100 TB): row-local codegen predicate on top of whatever
+    computed the score — zero shuffles, no sort, no per-stratum state;
+    contrast quota_per_source (exact per-stratum counts, needs the salted
+    top-k machinery) when hard quotas are required.
+    """
+    u = hash_u32_col(F.col(key_col), salt)
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), prob))
+    th = F.floor(p * F.lit(float(U32))).cast("bigint")
+    return scored.filter(u < th)
+
+
+def soft_sample_sql(
+    prob_expr: str, key_col: str = "doc_id", salt: str = "soft"
+) -> str:
+    """WHERE fragment reproducing :func:`soft_sample` in DuckDB."""
+    u = hash_u32_sql(key_col, salt)
+    p = f"GREATEST(0.0, LEAST(1.0, {prob_expr}))"
+    return f"({u}) < CAST(floor({p} * {float(U32)!r}) AS BIGINT)"
