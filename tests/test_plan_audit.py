@@ -88,6 +88,12 @@ BOUNDS = {
     "page_explode_concat": (2, 0, 0, False),
     "span_kind_stats": (5, 0, 0, True),
     "events_asof_purchase": (2, 0, 1, True),
+    # benchmark side is a bounded driver collect; the corpus scan is ONE
+    # row-local Arrow matmul stage — zero shuffles by construction
+    "decontaminate_semantic": (0, 1, 0, False),
+    # 1 = the input-split repartition (_docs scaffold); the draw itself is
+    # a row-local codegen predicate over the quality projection
+    "sample_soft_quality": (1, 0, 0, False),
     "quota_per_source": (3, 0, 2, False),
     "shard_assign": (2, 0, 1, False),
     "events_sessionize": (1, 0, 2, False),
