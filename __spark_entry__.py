@@ -3321,6 +3321,27 @@ def q_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_per_stratum(_docs(spark, sf_dir), quota=QUOTA_PER_SOURCE)
 
 
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def q_quota_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain TOKEN budget — the unit real training mixes are specified
+    in (docs-count quotas over-admit long documents): greedy hash-ordered
+    prefix per source whose exact-integer running token sum stays within
+    the budget. Two-phase salted prefix, skew-safe (quota_per_source
+    machinery); survivor bound n_salts×budget rows, config-not-corpus
+    scaled."""
+    from text_extract_api_spark.functions.sampling import (
+        token_quota_per_stratum,
+    )
+
+    return token_quota_per_stratum(
+        _docs(spark, sf_dir),
+        budget=TOKEN_BUDGET_PER_SOURCE,
+        tokens=token_count_col(F.col("text")),
+    )
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: (shard, pos) per document
     without a global total sort."""
@@ -3821,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
         "sample_soft_quality": q_sample_soft_quality,
+        "quota_tokens_per_source": q_quota_tokens_per_source,
         "corpus_mix_weights": q_corpus_mix_weights,
     }
 
@@ -4380,6 +4402,10 @@ FROM documents
 """.strip(),
         "stratified_sample": _stratified_sample_oracle(),
         "sample_soft_quality": _sample_soft_sql(),
+        "quota_tokens_per_source": _sampling.token_quota_per_stratum_sql(
+            TOKEN_BUDGET_PER_SOURCE,
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END",
+        ),
         "corpus_mix_weights": _mix_weights_oracle(),
         "dedup_jaccard_pairs": jaccard_full,
         "dedup_minhash_lsh": f"WITH {_SHINGLE_CTE},\n{_minhash_sig_sql()},\n{_lsh_bands_sql()}\n{_LSH_PAIRS_SQL}",

@@ -76,6 +76,7 @@ HEADLINE = [
     "length_quantiles",
     "events_asof_purchase",
     "quota_per_source",
+    "quota_tokens_per_source",
     "sample_soft_quality",
     "shard_assign",
     "corpus_prep_e2e",

@@ -95,6 +95,8 @@ BOUNDS = {
     # a row-local codegen predicate over the quality projection
     "sample_soft_quality": (1, 0, 0, False),
     "quota_per_source": (3, 0, 2, False),
+    # scaffold repart + the two salted-prefix window exchanges
+    "quota_tokens_per_source": (3, 0, 2, False),
     "shard_assign": (2, 0, 1, False),
     "events_sessionize": (1, 0, 2, False),
     "events_hourly_rollup": (1, 0, 0, False),

@@ -225,3 +225,40 @@ def test_soft_sample_extremes_and_monotonicity(spark):
         ).collect()
     }
     assert lo <= hi and len(lo) < len(hi)
+
+
+def test_token_quota_two_phase_matches_direct_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from text_extract_api_spark.functions.sampling import (
+        hash_u32_col,
+        token_quota_per_stratum,
+    )
+
+    # deliberately skewed: one stratum holds 90% of rows; token counts
+    # vary so budget boundaries land mid-stratum. Zero-token docs present.
+    rows = [(i, "hot" if i % 10 else "cold", (i * 7) % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    budget = 150
+    got = token_quota_per_stratum(
+        df, budget=budget, tokens=F.col("n_tok"), n_salts=8
+    )
+    # direct (skew-unsafe) reference: one global window per stratum
+    u = hash_u32_col(F.col("doc_id"), "tquota")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(u, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        df.filter(F.col("n_tok") > 0)
+        .withColumn("cum_tokens", F.sum(F.col("n_tok").cast("bigint")).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", F.col("n_tok").cast("bigint").alias("n_tokens"), "cum_tokens")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in ref.collect()}
+    assert a == b and a  # identical kept rows AND identical running sums
+    # every stratum respects its budget
+    for r in got.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect():
+        assert r["m"] <= budget

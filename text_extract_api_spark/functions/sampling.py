@@ -402,3 +402,92 @@ def soft_sample_sql(
     u = hash_u32_sql(key_col, salt)
     p = f"GREATEST(0.0, LEAST(1.0, {prob_expr}))"
     return f"({u}) < CAST(floor({p} * {float(U32)!r}) AS BIGINT)"
+
+
+def token_quota_per_stratum(
+    docs: DataFrame,
+    budget: int,
+    tokens,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "tquota",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-stratum TOKEN budget (e.g. "at most B tokens per domain") — the
+    unit real training mixes are specified in, where :func:`quota_per_stratum`
+    counts documents: keep each stratum's greedy hash-ordered prefix of
+    documents whose running token sum stays within ``budget``.
+
+    Returns (key, stratum, n_tokens, cum_tokens) for kept rows. Zero-token
+    documents are EXCLUDED up front: they contribute nothing to a token
+    budget, and admitting them would unbound the phase-1 survivor count.
+
+    Skew-safe two-phase prefix (quota_per_stratum discipline): phase 1
+    takes each ``(stratum, u % n_salts)`` bucket's LOCAL budget-prefix —
+    lossless, because a globally kept row's bucket-local prefix is a
+    subset of its global prefix, and token counts are positive, so its
+    local running sum can only be ≤ its global one. Phase 2's per-stratum
+    window then sees at most ``n_salts × budget`` rows (every survivor
+    costs ≥ 1 token) — bounded by config, not by corpus size; with real
+    documents it is ~``n_salts × budget / avg_tokens``. The running sums
+    are exact BIGINT — no float accumulation anywhere.
+    """
+    tok = F.greatest(tokens.cast("bigint"), F.lit(0).cast("bigint"))
+    u = hash_u32_col(F.col(key_col), salt)
+    ranked = docs.select(
+        key_col,
+        stratum_col,
+        tok.alias("n_tokens"),
+        u.alias("_u"),
+        (u % n_salts).alias("_b"),
+    ).filter(F.col("n_tokens") > 0)
+    local = (
+        Window.partitionBy(stratum_col, "_b")
+        .orderBy("_u", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = ranked.withColumn(
+        "_lcum", F.sum("n_tokens").over(local)
+    ).filter(F.col("_lcum") <= budget)
+    final = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_u", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.withColumn("cum_tokens", F.sum("n_tokens").over(final))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(key_col, stratum_col, "n_tokens", "cum_tokens")
+    )
+
+
+def token_quota_per_stratum_sql(
+    budget: int,
+    tokens_expr: str,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "tquota",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`token_quota_per_stratum` — the direct
+    single-window greedy prefix; the two-phase Spark plan must keep
+    identical rows with identical running sums."""
+    u = hash_u32_sql(key_col, salt)
+    return f"""
+WITH t AS (
+  SELECT {key_col}, {stratum_col},
+         CAST(GREATEST({tokens_expr}, 0) AS BIGINT) AS n_tokens,
+         ({u}) AS u
+  FROM {table}
+),
+c AS (
+  SELECT {key_col}, {stratum_col}, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY {stratum_col} ORDER BY u, {key_col}
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_tokens
+  FROM t WHERE n_tokens > 0
+)
+SELECT {key_col}, {stratum_col}, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget}
+""".strip()
