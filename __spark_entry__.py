@@ -3721,7 +3721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events_hourly_rollup + base64_ingest (shapes covered in-window by
       q1/q5, top_events, events_sessionize, binary_ingest_sniff),
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
-      pack_sequences (all r3-green, code unchanged). Rotate next round.
+      pack_sequences (all r3-green, code unchanged). Rotate next round —
+      the r5 window MUST lead with the three r4 wave-4 operators added
+      after this layout froze (decontaminate_semantic,
+      sample_soft_quality, quota_tokens_per_source — local-parity-green
+      only, never driver-checked), then the remaining never-checked tail.
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
