@@ -55,7 +55,10 @@ SHUFFLE_PARTITIONS = 64  # fixed across levels: parallelism must come from
 # r4-zstd = engine default shuffle codec switched lz4→zstd (session.py):
 # shuffled bytes fall 2.37× at flat task CPU (tools/codec_ab.py) — a
 # measurement-relevant change, so pairs pool separately from r3-slim.
-METHOD = "r4-zstd-pinned"
+METHOD = "r4-zstd-pinned" + (
+    f"-x{MULTIPLIER}" if MULTIPLIER != 16 else ""
+)  # corpus scale is part of the pool key: fixed-overhead amortization
+# changes what the pair measures, so ×64 pairs must not pool with ×16 ones
 
 
 def parse_eventlog(evl_dir: str) -> dict:
