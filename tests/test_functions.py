@@ -485,3 +485,33 @@ def test_bpe_merge_application_is_nonoverlapping_left_to_right(spark):
     # round 2 on [aa,aa,</w>]x2 + [aa,a,</w>]: (aa,aa)=2, (aa,a)=1,
     # (aa,</w>)=2, (a,</w>)=1 -> tie (aa,aa) vs (aa,</w>) -> '</w>' < 'aa'
     assert got[1] == (2, "aa", "</w>", 2)
+
+
+def test_lsh_calibrator_matches_engine_default_and_scurve():
+    from text_extract_api_spark.functions.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_SEEDS,
+        lsh_collision_prob,
+        lsh_params_for_threshold,
+    )
+
+    # the engine's documented t=0.6 operating point IS what the calibrator
+    # picks from the default permutation budget
+    assert lsh_params_for_threshold(0.6, MINHASH_SEEDS) == (LSH_BANDS, LSH_ROWS)
+    # every answer is an exact factorization of the budget
+    for t in (0.05, 0.3, 0.5, 0.7, 0.9, 0.99):
+        b, r = lsh_params_for_threshold(t, 24)
+        assert b * r == 24 and b >= 1 and r >= 1
+    # S-curve sanity: steeper separation around the inflection than at the
+    # tails, and monotone in s
+    # recall-leaning defaults: strong candidate recall AT the threshold
+    # once the budget allows it, while staying near-zero far below it
+    b, r = lsh_params_for_threshold(0.8, 128)
+    assert (b, r) == (16, 8)
+    lo, mid, hi = (lsh_collision_prob(s, b, r) for s in (0.4, 0.8, 0.95))
+    assert lo < 0.1 and mid > 0.9 and hi > 0.99
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_params_for_threshold(1.0)

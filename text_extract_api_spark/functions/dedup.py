@@ -908,3 +908,58 @@ def fuzzy_decontaminate(
             ),
         )
     )
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """P(candidate) for a pair at Jaccard similarity ``s`` under (b, r)
+    banding: 1 − (1 − s^r)^b — the standard MinHash-LSH S-curve (Mining of
+    Massive Datasets §3.4). Pure math, used by the calibrator and tests."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_params_for_threshold(
+    threshold: float,
+    n_perms: int = MINHASH_SEEDS,
+    fp_weight: float = 0.25,
+    fn_weight: float = 0.75,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard ``threshold``
+    from a fixed permutation budget — makes the banding knob principled
+    instead of hand-picked.
+
+    Scans every exact factorization b×r = n_perms and minimizes the
+    weighted sum of the S-curve's false-positive area (∫₀ᵗ P ds) and
+    false-negative area (∫ₜ¹ (1−P) ds) — the ``datasketch``
+    ``_optimal_param`` method. The default weights lean recall (FN 0.75):
+    an LSH false positive costs one row-local exact-Jaccard verification,
+    while a false negative is a silently missed near-dup — the asymmetry
+    every dedup deployment of this engine has. These defaults reproduce
+    the engine's documented operating point ((4 bands × 3 rows) at
+    t=0.6 from the 12-perm budget) and give P(candidate at s=t) ≈ 0.95
+    at serious budgets (128 perms @ t=0.8 → 16×8).
+
+    Scale note: raising ``n_perms`` tightens the S-curve but multiplies
+    the row-local signature cost and band-key fan-out linearly; candidate
+    volume at corpus scale is governed by bucket occupancy, not by b×r.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    steps = 1000
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, n_perms + 1):
+        if n_perms % rows:
+            continue
+        bands = n_perms // rows
+        fp = fn = 0.0
+        for i in range(steps):
+            s = threshold * (i + 0.5) / steps
+            fp += lsh_collision_prob(s, bands, rows) * (threshold / steps)
+            s2 = threshold + (1.0 - threshold) * (i + 0.5) / steps
+            fn += (1.0 - lsh_collision_prob(s2, bands, rows)) * (
+                (1.0 - threshold) / steps
+            )
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
