@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, functions as F
 
 WS_SPLIT = "[ \\t\\r\\n]+"
 MINHASH_SEEDS = 12
-LSH_BANDS = 4  # 4 bands × 3 rows
+# 4 bands × 3 rows = lsh_params_for_threshold(0.6, 12): the recall-leaning
+# S-curve optimum for the engine's documented t=0.6 operating point
+LSH_BANDS = 4
 LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
 SIMHASH_BITS = 16
 
