@@ -46,6 +46,10 @@ EDGE_SENSITIVE = [
     # empty-token shapes
     "bigram_logppl",
     "quality_classifier",
+    # r4 wave 4: both derive per-doc text statistics feeding exact-integer
+    # keep predicates — pin the statistic→threshold boundary on edge shapes
+    "sample_soft_quality",
+    "quota_tokens_per_source",
 ]
 
 
