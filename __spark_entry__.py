@@ -3708,24 +3708,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - 34-41: the entries the r3 window missed — above all the four
       never-driver-checked r3 operators (events_asof_purchase,
       quota_per_source, shard_assign, corpus_prep_e2e);
-    - 42-50: the r4-changed minhash kernel, r2-green-but-r3-missed
-      entries (office, tpch, events), and the three r4 streaming driver
-      rows (streaming_sessionize, streaming_source_totals,
-      streaming_dedup_distinct);
+    - 42-50: the r4-changed minhash kernel, office_extract, the three
+      wave-4 ops added after the original layout froze
+      (decontaminate_semantic, sample_soft_quality,
+      quota_tokens_per_source — never-checked NEW code outranks
+      r2-green unchanged entries), top_events/sessionize, and the three
+      r4 streaming driver rows (streaming_sessionize,
+      streaming_source_totals, streaming_dedup_distinct);
     - 51+ (outside the window): every entry has a PRIOR driver-green row
       (r2 and/or r3) or — for pipeline_extract_flat/office — is ALSO
       smoke-checked via entry() every round; all are still verified every
       round by tools/parity_check.py locally at sf0.01 (full-suite runs
       green this round). Rotated out this round: the two flagship
-      pipelines (r3-green, entry-smoked), tpch_q3 + tpch_q6 +
-      events_hourly_rollup + base64_ingest (shapes covered in-window by
-      q1/q5, top_events, events_sessionize, binary_ingest_sniff),
-      vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
-      pack_sequences (all r3-green, code unchanged). Rotate next round —
-      the r5 window MUST lead with the three r4 wave-4 operators added
-      after this layout froze (decontaminate_semantic,
-      sample_soft_quality, quota_tokens_per_source — local-parity-green
-      only, never driver-checked), then the remaining never-checked tail.
+      pipelines (r3-green, entry-smoked), all tpch + events_hourly_rollup
+      + events_props_extract + base64_ingest (all r2/r3-green, unchanged;
+      join/agg/top-k/json shapes covered in-window by top_events,
+      events_sessionize, corpus_prep_e2e, json-deriving ops,
+      binary_ingest_sniff), vocab_topk, length_quantiles,
+      dedup_paragraphs, chunk_windows, pack_sequences (all r3-green,
+      code unchanged). After this round every registered query has had
+      at least one driver-green row; the r5 window should lead with any
+      ops changed in r5, then the oldest-green tail (tpch/events/
+      flagship pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
@@ -3774,23 +3778,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver check in-window ahead of r2-green untouched entries
         "dedup_minhash_neardups": q_dedup_minhash_neardups,
         "office_extract": q_office_extract,
-        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        # the three wave-4 ops added after the original layout froze —
+        # never driver-checked NEW code outranks r2-green unchanged
+        # entries, so they take the slots tpch_q1/q5 + events_props held
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "sample_soft_quality": q_sample_soft_quality,
+        "quota_tokens_per_source": q_quota_tokens_per_source,
         "top_events_per_user": q_top_events_per_user,
         "events_sessionize": q_events_sessionize,
-        "events_props_extract": q_events_props_extract,
         # r4-new driver-checkable streaming rows — must stay in-window
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_source_totals": q_streaming_source_totals,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         # --- 51+: rotated out this round to fit the new ops: the two
         # flagship pipelines are r3-green AND smoke-checked via entry()
-        # every round; tpch_q3's join/top-k and events_hourly_rollup's
-        # agg shape are covered in-window by the q5 chain, top_events
-        # window top-k, and events_sessionize -----------------------------
+        # every round; tpch (all r2-green, unchanged) is fully out —
+        # its join/agg/top-k shapes are covered in-window by top_events'
+        # window top-k, events_sessionize, and the corpus_prep chain;
+        # events_props_extract (r2-green) is covered by json_structuring's
+        # shape having been green in r3 -----------------------------------
         "pipeline_extract_flat": q_pipeline_extract_flat,
         "pipeline_extract_office": q_pipeline_extract_office,
-        "decontaminate_semantic": q_decontaminate_semantic,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "events_props_extract": q_events_props_extract,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -3845,8 +3856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
-        "sample_soft_quality": q_sample_soft_quality,
-        "quota_tokens_per_source": q_quota_tokens_per_source,
         "corpus_mix_weights": q_corpus_mix_weights,
     }
 
