@@ -91,6 +91,7 @@ HEADLINE = [
     "ann_batch_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "html_to_markdown",
     "media_image_metadata",
     "quality_score",
     "page_explode_concat",

@@ -50,6 +50,10 @@ EDGE_SENSITIVE = [
     # keep predicates — pin the statistic→threshold boundary on edge shapes
     "sample_soft_quality",
     "quota_tokens_per_source",
+    # r4 late wave: text chunks flow through the HTML parser and the
+    # per-block ws-collapse/trim — the \x0b / control-char cases pin the
+    # whitespace-class discipline through a DOM round-trip
+    "html_to_markdown",
 ]
 
 

@@ -49,6 +49,57 @@ def test_html_main_content(html, expected):
     assert extract_main_content_py(html) == expected
 
 
+# Structure-PRESERVING conversion (extractors/markdown.py) — each case pins
+# one clause of the documented contract.
+HTML_MD_CASES = [
+    # headings keep their level; blocks joined by a blank line
+    ("<h1>Top</h1><p>Body.</p><h3>Sub</h3>", "# Top\n\nBody.\n\n### Sub"),
+    # consecutive list items join with ONE newline; ordered == unordered
+    (
+        "<ul><li>a</li><li>b</li></ul><ol><li>c</li></ol><p>after</p>",
+        "- a\n- b\n- c\n\nafter",
+    ),
+    # links keep href; empty/missing href degrades to plain text
+    (
+        '<p>see <a href="https://x.io/d">spec</a> and <a>bare</a></p>',
+        "see [spec](https://x.io/d) and bare",
+    ),
+    # inline emphasis, incl. nesting
+    ("<p>x <b>y <i>z</i></b> w</p>", "x **y *z*** w"),
+    # unclosed inline tags degrade to plain text (no dangling markers)
+    ("<p><strong>never closed", "never closed"),
+    # empty inline elements emit nothing
+    ("<p><em>  </em>kept</p>", "kept"),
+    # blockquote prefixes every block inside it, nesting stacks
+    (
+        "<blockquote><p>inner</p><blockquote>deep</blockquote></blockquote>",
+        "> inner\n\n> > deep",
+    ),
+    # kill-tags drop whole subtrees (nav/footer/script/head)
+    (
+        "<nav><a href='/'>Home</a></nav><p>Kept.</p>"
+        "<footer>Copyright</footer><script>x()</script>",
+        "Kept.",
+    ),
+    # whitespace collapse + engine trim class inside every fragment
+    ("<h2>  spaced\t\theading </h2>", "## spaced heading"),
+    # <br> is a space; entities decode
+    ("<p>a<br>b &amp; c</p>", "a b & c"),
+    # quarantine semantics
+    ("", ""),
+    ("<p></p>", ""),
+]
+
+
+@pytest.mark.parametrize("html,expected", HTML_MD_CASES)
+def test_html_to_markdown(html, expected):
+    from text_extract_api_spark.extractors.markdown import (
+        html_to_markdown_py,
+    )
+
+    assert html_to_markdown_py(html) == expected
+
+
 PII_CASES = [
     ("mail me at bob.smith+tag@sub.example.co today", "mail me at ANONYMIZED today"),
     ("ssn is 123-45-6789 ok", "ssn is ANONYMIZED ok"),

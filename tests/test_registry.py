@@ -57,7 +57,9 @@ def test_strategy_requires_exactly_one_impl():
 
 def test_yaml_config_loads_default_registry():
     reg = load_registry_from_config(DEFAULT_CONFIG_PATH)
-    assert set(reg.names()) == {"html", "pdf", "docx", "pptx", "text", "markdown"}
+    assert set(reg.names()) == {
+        "html", "html_md", "pdf", "docx", "pptx", "text", "markdown",
+    }
     # per-strategy config travels (reference set_strategy_config)
     assert reg.get("pdf").config.get("page_sep") == "\n\n"
     assert reg.get("text").kinds == ("text", "pii_text")

@@ -12,8 +12,10 @@ Strategy → reference parity:
   reference's extracted-text handling before the LLM transform).
 - ``markdown``: heading/emphasis strip (the reference emits markdown from
   its OCR strategies; the engine normalizes it to plain text).
-- ``html``: DOM-heuristic main-content extraction **[north-rule]** — the
-  only Python (pandas-UDF) text path, so it runs as its own filtered leg.
+- ``html``: DOM-heuristic main-content extraction **[north-rule]** — a
+  Python (pandas-UDF) text path, so it runs as its own filtered leg.
+- ``html_md``: structure-preserving HTML → Markdown conversion
+  (extractors/markdown.py) under its own opt-in kind.
 - ``pdf``: page-store join + explicit-order page concat
   (converters/pdf_to_jpeg.py:12-29, easyocr.py:52-56).
 - ``docx`` / ``pptx``: OOXML zip+XML parse legs (README-claimed formats the
@@ -61,6 +63,29 @@ def html_main_content(config: dict | None = None) -> ExtractorStrategy:
     return ExtractorStrategy(
         name="html",
         kinds=tuple(config.get("kinds", ("html",))),
+        leg_fn=leg,
+        config=config,
+    )
+
+
+def html_markdown(config: dict | None = None) -> ExtractorStrategy:
+    """Structure-PRESERVING html leg (extractors/markdown.py): emits
+    Markdown with headings/lists/links intact instead of flattened main
+    content. Registered under its own kind (``html_md``) so a user opts a
+    span slice into it via YAML/`register` without changing the default
+    ``html`` leg's flattening contract (and the flagship oracle)."""
+    config = config or {}
+
+    def leg(flat_slice: DataFrame, ctx: dict, cfg: dict) -> DataFrame:
+        from .markdown import html_to_markdown_udf
+
+        return flat_slice.withColumn(
+            "extracted", html_to_markdown_udf(F.col("text"))
+        )
+
+    return ExtractorStrategy(
+        name="html_md",
+        kinds=tuple(config.get("kinds", ("html_md",))),
         leg_fn=leg,
         config=config,
     )
@@ -136,6 +161,7 @@ def register_strategies(registry) -> None:
     leg build / when-chain order, mirroring conf/strategies.yaml."""
     for factory in (
         html_main_content,
+        html_markdown,
         pdf_pages,
         office_docx,
         office_pptx,
