@@ -2996,6 +2996,15 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
+    ids, html = _html_rich_fixture()
+    return d.select(
+        ids.alias("doc_id"), html_to_markdown_udf(html).alias("markdown")
+    )
+
+
+def _html_rich_fixture():
+    """(doc_id string col, structure-rich fixture HTML col) — shared by
+    html_to_markdown and html_outlinks so both oracles mirror ONE template."""
     ids = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit(_HTML_MD_PRE), ids,
@@ -3005,9 +3014,49 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HTML_MD_BQ), F.substring("text", 121, 120),
         F.lit(_HTML_MD_POST),
     )
-    return d.select(
-        ids.alias("doc_id"), html_to_markdown_udf(html).alias("markdown")
+    return ids, html
+
+
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (crawl-frontier / link-graph semantics): every
+    ``<a href>`` outside non-rendering subtrees, in document order, with
+    collapsed anchor text — the edge list that feeds URL canonicalization
+    (url_canonicalize), per-domain stats (url_domain_stats), and any
+    link-graph quality signal. Unlike the content legs it KEEPS nav/footer
+    anchors: a frontier wants every crawlable edge.
+
+    Scale: one Arrow pandas_udf scan + a row-local posexplode — zero
+    shuffles; output size is the true edge count (no global state)."""
+    from text_extract_api_spark.extractors.markdown import extract_links_udf
+
+    d = _docs(spark, sf_dir)
+    ids, html = _html_rich_fixture()
+    return (
+        d.select(
+            ids.alias("doc_id"),
+            F.posexplode(extract_links_udf(html)).alias("link_pos", "link"),
+        )
+        .select(
+            "doc_id",
+            F.col("link_pos").cast("int").alias("link_pos"),
+            F.col("link.href").alias("href"),
+            F.col("link.anchor").alias("anchor"),
+        )
     )
+
+
+def _html_outlinks_sql() -> str:
+    """The fixture template carries exactly 4 anchors per document, in
+    order: nav Home, nav About, the per-doc spec link, footer T."""
+    ids = "CAST(d.doc_id AS VARCHAR)"
+    return f"""
+SELECT {ids} AS doc_id, t.link_pos,
+  CASE t.link_pos WHEN 2 THEN 'https://example.com/d/' || {ids} ELSE t.href END AS href,
+  CASE t.link_pos WHEN 2 THEN 'spec ' || {ids} ELSE t.anchor END AS anchor
+FROM documents d
+CROSS JOIN (VALUES (0, '/', 'Home'), (1, '/about', 'About'),
+            (2, '', ''), (3, '/t', 'T')) AS t(link_pos, href, anchor)
+""".strip()
 
 
 def _html_md_sql() -> str:
@@ -3769,7 +3818,7 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window rotates coverage
-    (VERDICT r3 #1: the driver checks exactly the FIRST 50 keys; 108 are
+    (VERDICT r3 #1: the driver checks exactly the FIRST 50 keys; 109 are
     registered). Window layout this round:
     - 1-11: the newest r4 wave-3/4 operators (ann_pq_topk, bigram_logppl,
       decontaminate_fuzzy, quality_char_entropy, batch_by_length,
@@ -3846,7 +3895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_e2e": q_corpus_prep_e2e,
         "image_unify": q_image_unify,
         "media_image_resize": q_media_image_resize,
-        "media_audio_features": q_media_audio_features,
+        # media_audio_features rotated to 51+ (r2-green, unchanged 2
+        # rounds; image_unify/resize keep the media family in-window) to
+        # make room for the second brand-new late-wave op
+        "html_outlinks": q_html_outlinks,
         "binary_ingest_sniff": q_binary_ingest_sniff,
         # kernel changed this round (rowmajor Arrow minhash) — keep its
         # driver check in-window ahead of r2-green untouched entries
@@ -3878,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_events_per_user": q_top_events_per_user,
         "events_props_extract": q_events_props_extract,
+        "media_audio_features": q_media_audio_features,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -4199,6 +4252,7 @@ WHERE d.source <> 'src1'
         "decontaminate_fuzzy": decon_fuzzy_sql,
         "decontaminate_semantic": _decon_semantic_sql(),
         "html_to_markdown": _html_md_sql(),
+        "html_outlinks": _html_outlinks_sql(),
         "quality_char_entropy": char_entropy_sql(),
         "batch_by_length": batch_by_length_sql(),
         "temperature_mix": temperature_mix_sql(ws_tok),

@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "html_to_markdown",
+    "html_outlinks",
     "media_image_metadata",
     "quality_score",
     "page_explode_concat",

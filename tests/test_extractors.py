@@ -100,6 +100,34 @@ def test_html_to_markdown(html, expected):
     assert html_to_markdown_py(html) == expected
 
 
+# Outlink extraction: frontier semantics — nav/footer anchors KEPT,
+# non-rendering subtrees skipped, document order, collapsed anchor text.
+LINK_CASES = [
+    (
+        '<nav><a href="/">Home</a></nav><p><a href="https://x.io/5">spec 5</a>'
+        '</p><footer><a href="/t">T</a></footer>',
+        [("/", "Home"), ("https://x.io/5", "spec 5"), ("/t", "T")],
+    ),
+    # script bodies can't render anchors — tag-like text inside is ignored
+    ('<script>document.write(\'<a href="/fake">no</a>\')</script>', []),
+    # no/empty href yields no edge
+    ('<a>no href</a><a href="">empty</a>', []),
+    # unclosed anchor keeps accumulated text; inline marks flatten
+    ('<a href="/u">un<b>closed', [("/u", "unclosed")]),
+    ('<a href="/o"><b>nested <i>marks</i></b></a>', [("/o", "nested marks")]),
+    # anchor text whitespace collapses under the engine class
+    ('<a href="/w"> padded \t anchor </a>', [("/w", "padded anchor")]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("html,expected", LINK_CASES)
+def test_html_outlinks(html, expected):
+    from text_extract_api_spark.extractors.markdown import extract_links_py
+
+    assert extract_links_py(html) == expected
+
+
 PII_CASES = [
     ("mail me at bob.smith+tag@sub.example.co today", "mail me at ANONYMIZED today"),
     ("ssn is 123-45-6789 ok", "ssn is ANONYMIZED ok"),

@@ -182,3 +182,93 @@ def html_to_markdown_udf(html: pd.Series) -> pd.Series:
     return html.map(
         lambda h: html_to_markdown_py(h) if isinstance(h, str) else ""
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (crawl-frontier / link-graph semantics)
+# ---------------------------------------------------------------------------
+
+# Unlike the content extractors, outlink extraction keeps nav/footer anchors
+# (a frontier wants every crawlable edge); only tags that can't render an
+# anchor at all are skipped.
+_NON_RENDERING = frozenset(
+    "script style noscript template head title select option".split()
+)
+
+
+class _LinkParser(HTMLParser):
+    """Collects every ``<a href=…>`` outside non-rendering subtrees, in
+    document order, as (href, collapsed anchor text)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._a: list[tuple[int, str, list[str]]] = []  # (idx, href, segs)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            return
+        if tag in _NON_RENDERING:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            href = next((v or "" for k, v in attrs if k == "href"), "")
+            if href:
+                self.links.append((href, ""))
+                self._a.append((len(self.links) - 1, href, []))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _NON_RENDERING:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a" and self._a:
+            idx, href, segs = self._a.pop()
+            self.links[idx] = (href, _collapse("".join(segs)))
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data or not self._a:
+            return
+        self._a[-1][2].append(data)
+
+    def close(self) -> None:
+        super().close()
+        # unclosed anchors keep whatever text accumulated
+        while self._a:
+            idx, href, segs = self._a.pop()
+            self.links[idx] = (href, _collapse("".join(segs)))
+
+
+def extract_links_py(html: str) -> list[tuple[str, str]]:
+    """Pure-Python core: document-order (href, anchor) pairs; unparseable
+    HTML → [] (quarantine semantics)."""
+    if not html:
+        return []
+    parser = _LinkParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return []
+    return parser.links
+
+
+_LINK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_LINK_SCHEMA)
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda h: extract_links_py(h) if isinstance(h, str) else []
+    )
