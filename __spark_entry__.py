@@ -3827,32 +3827,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       48) — never driver-checked;
     - 12-33: the earlier r4-NEW operators (dsir_select … tfidf_topk_terms)
       — never driver-checked, must be in-window;
-    - 34-41: the entries the r3 window missed — above all the four
+    - 34-40: the entries the r3 window missed — above all the four
       never-driver-checked r3 operators (events_asof_purchase,
       quota_per_source, shard_assign, corpus_prep_e2e);
-    - 42-50: the r4-changed minhash kernel, office_extract, the three
-      wave-4 ops added after the original layout froze
+    - 39 + 41-50: the two BRAND-NEW late-wave ops (html_outlinks,
+      html_to_markdown), the r4-changed minhash kernel, office_extract,
+      the three wave-4 ops added after the original layout froze
       (decontaminate_semantic, sample_soft_quality,
       quota_tokens_per_source — never-checked NEW code outranks
-      r2-green unchanged entries), the brand-new html_to_markdown,
-      events_sessionize, and the three r4 streaming driver rows
-      (streaming_sessionize, streaming_source_totals,
-      streaming_dedup_distinct);
+      r2-green unchanged entries), events_sessionize, and the three r4
+      streaming driver rows (streaming_sessionize,
+      streaming_source_totals, streaming_dedup_distinct);
     - 51+ (outside the window): every entry has a PRIOR driver-green row
       (r2 and/or r3) or — for pipeline_extract_flat/office — is ALSO
       smoke-checked via entry() every round; all are still verified every
       round by tools/parity_check.py locally at sf0.01 (full-suite runs
       green this round). Rotated out this round: the two flagship
       pipelines (r3-green, entry-smoked), all tpch + events_hourly_rollup
-      + events_props_extract + base64_ingest (all r2/r3-green, unchanged;
-      join/agg/top-k/json shapes covered in-window by top_events,
-      events_sessionize, corpus_prep_e2e, json-deriving ops,
-      binary_ingest_sniff), vocab_topk, length_quantiles,
-      dedup_paragraphs, chunk_windows, pack_sequences (all r3-green,
-      code unchanged). After this round every registered query has had
-      at least one driver-green row; the r5 window should lead with any
-      ops changed in r5, then the oldest-green tail (tpch/events/
-      flagship pipelines).
+      + events_props_extract + base64_ingest + top_events_per_user +
+      media_audio_features (all r2/r3-green, unchanged; join/agg/top-k/
+      json shapes covered in-window by events_sessionize,
+      corpus_prep_e2e, json-deriving ops, binary_ingest_sniff; the media
+      family stays represented by image_unify/media_image_resize),
+      vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
+      pack_sequences (all r3-green, code unchanged). After this round
+      every registered query has had at least one driver-green row; the
+      r5 window should lead with any ops changed in r5, then the
+      oldest-green tail (tpch/events/flagship pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
