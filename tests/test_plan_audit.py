@@ -94,6 +94,10 @@ BOUNDS = {
     # 1 = the input-split repartition (_docs scaffold); the draw itself is
     # a row-local codegen predicate over the quality projection
     "sample_soft_quality": (1, 0, 0, False),
+    # 1 repart scaffold + the one Arrow DOM-parse stage; zero shuffles of
+    # their own (row-local structuring / posexplode)
+    "html_to_markdown": (1, 1, 0, False),
+    "html_outlinks": (1, 1, 0, False),
     "quota_per_source": (3, 0, 2, False),
     # scaffold repart + the two salted-prefix window exchanges
     "quota_tokens_per_source": (3, 0, 2, False),
