@@ -93,6 +93,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "html_to_markdown",
     "html_outlinks",
+    "decontaminate_bloom",
+    "anchor_text_agg",
+    "link_pagerank",
     "media_image_metadata",
     "quality_score",
     "page_explode_concat",
