@@ -3920,6 +3920,47 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holdout_split(d, minhash_near_dups(d, threshold=NEARDUP_T))
 
 
+EPOCH_SHARDS = 8  # shards >> executors at scale; 8 keeps sf0.01 windows busy
+
+
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality run structure of each interleaved span sequence (transition
+    count, longest media/text runs, first media index) — the gating signals
+    MMC4/OBELICS-style VLM recipes compute first. One ``F.aggregate`` fold
+    over the nested spans array: row-local, zero shuffles beyond the
+    synthesis groupBy that builds the nested input shape."""
+    from text_extract_api_spark.functions.interleave import interleave_stats
+
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    return interleave_stats(docs)
+
+
+def q_media_text_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMC4-style nearest-text assignment for every media span (tie -> the
+    earlier span). Two frame-bound windows (running last/first non-null)
+    over ONE hash exchange on doc_id; O(1) window state per row, so a
+    million-span doc streams rather than buffers."""
+    from text_extract_api_spark.functions.interleave import media_text_pairing
+
+    flat = synth_flat_spans(spark, sf_dir)
+    return media_text_pairing(
+        flat.select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hierarchical training-epoch shuffle: md5-hash sharding
+    + md5-ordered position within each shard — the (shard, pos) order real
+    loaders consume, with no RNG so a restarted epoch regenerates the
+    identical permutation. One hash exchange; per-shard window sorts of
+    corpus/n_shards rows; never a global single-partition row_number."""
+    return _sampling.epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"),
+        n_shards=EPOCH_SHARDS,
+        seed="r4epoch",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window rotates coverage
     (VERDICT r3 #1: the driver checks exactly the FIRST 50 keys; 109 are
@@ -3958,7 +3999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
       pack_sequences (all r3-green, code unchanged). After this round
       every registered query has had at least one driver-green row; the
-      r5 window should lead with any ops changed in r5, then the
+      r5 window should lead with the three ops added after this round's
+      window froze (interleave_stats, media_text_pairing, epoch_shuffle —
+      never driver-checked), then any ops changed in r5, then the
       oldest-green tail (tpch/events/flagship pipelines).
     """
     return {
@@ -4097,6 +4140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
         "corpus_mix_weights": q_corpus_mix_weights,
+        # --- added after the r4 window froze (positions 113-115): locally
+        # parity-verified this round; MUST lead the r5 driver window.
+        "interleave_stats": q_interleave_stats,
+        "media_text_pairing": q_media_text_pairing,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -4833,4 +4881,74 @@ FROM events e ASOF LEFT JOIN purch p
         "quota_per_source": _sampling.quota_per_stratum_sql(QUOTA_PER_SOURCE),
         "shard_assign": _sampling.shard_assign_sql(N_SHARDS),
         "corpus_prep_e2e": prep_sql,
+        # Gaps-and-islands re-derivation of the Spark F.aggregate fold:
+        # run ids = rn - rn-within-(doc, flag); independent construction.
+        "interleave_stats": f"""
+WITH {SYNTH_CTE},
+f AS (
+  SELECT doc_id, k, (kind IN ('pdf','image')) AS m FROM spans
+),
+w AS (
+  SELECT doc_id, k, m,
+         CASE WHEN lag(m) OVER (PARTITION BY doc_id ORDER BY k) IS NOT NULL
+                   AND lag(m) OVER (PARTITION BY doc_id ORDER BY k) <> m
+              THEN 1 ELSE 0 END AS tr,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k)
+           - row_number() OVER (PARTITION BY doc_id, m ORDER BY k) AS grp
+  FROM f
+),
+runs AS (
+  SELECT doc_id, m, grp, COUNT(*) AS run_len FROM w GROUP BY doc_id, m, grp
+),
+a1 AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_spans,
+         CAST(SUM(tr) AS INT) AS n_transitions,
+         CAST(COALESCE(MIN(CASE WHEN m THEN k END), -1) AS INT) AS first_media_idx
+  FROM w GROUP BY doc_id
+),
+a2 AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN m THEN run_len END), 0) AS INT) AS max_media_run,
+         CAST(COALESCE(MAX(CASE WHEN NOT m THEN run_len END), 0) AS INT) AS max_text_run
+  FROM runs GROUP BY doc_id
+)
+SELECT a1.doc_id, n_spans, n_transitions, max_media_run, max_text_run, first_media_idx
+FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id
+""".strip(),
+        # Same nearest-text rule via IGNORE-NULLS frame windows; tie -> the
+        # earlier (preceding) text span, matching the Spark <= comparison.
+        "media_text_pairing": f"""
+WITH {SYNTH_CTE},
+t AS (
+  SELECT doc_id, k, kind, media_ref,
+         CASE WHEN kind NOT IN ('pdf','image') THEN k END AS toff
+  FROM spans
+),
+w AS (
+  SELECT doc_id, k, kind, media_ref,
+         last_value(toff IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(toff IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY k
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM t
+)
+SELECT doc_id,
+       CAST(k AS INT) AS media_idx,
+       media_ref,
+       CAST(COALESCE(CASE WHEN prev_t IS NULL THEN next_t
+                          WHEN next_t IS NULL THEN prev_t
+                          WHEN k - prev_t <= next_t - k THEN prev_t
+                          ELSE next_t END, -1) AS INT) AS paired_text_idx,
+       CAST(COALESCE(abs(k - (CASE WHEN prev_t IS NULL THEN next_t
+                                   WHEN next_t IS NULL THEN prev_t
+                                   WHEN k - prev_t <= next_t - k THEN prev_t
+                                   ELSE next_t END)), -1) AS INT) AS pair_dist
+FROM w WHERE kind IN ('pdf','image')
+""".strip(),
+        "epoch_shuffle": _sampling.epoch_shuffle_sql(
+            EPOCH_SHARDS, seed="r4epoch"
+        ),
     }

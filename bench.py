@@ -78,6 +78,9 @@ HEADLINE = [
     "quota_per_source",
     "quota_tokens_per_source",
     "sample_soft_quality",
+    "interleave_stats",
+    "media_text_pairing",
+    "epoch_shuffle",
     "shard_assign",
     "corpus_prep_e2e",
     "dedup_embedding_cosine",

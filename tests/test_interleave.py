@@ -1,0 +1,117 @@
+"""Interleaved-sequence structure operators: hand-computed edge cases.
+
+Covers the degenerate shapes the sf0.01 oracle corpus can't guarantee to
+contain: all-media docs, all-text docs, single-span docs, and exact
+tie-breaking in the nearest-text pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from text_extract_api_spark.functions.interleave import (
+    interleave_stats,
+    media_text_pairing,
+)
+from text_extract_api_spark.functions.sampling import epoch_shuffle
+
+
+def _span(kind, off):
+    return Row(kind=kind, text="t", media_ref="", offset=off)
+
+
+def _nested(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=d, spans=[_span(k, i) for i, k in enumerate(kinds)])
+         for d, kinds in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_interleave_stats_hand_cases(spark):
+    df = _nested(
+        spark,
+        [
+            # T M M T: 2 transitions, media run 2, text run 1, first media 1
+            ("a", ["text", "image", "pdf", "text"]),
+            # all media: 0 transitions, media run 3, text run 0, first 0
+            ("b", ["pdf", "image", "pdf"]),
+            # all text: no media, first_media = -1 sentinel
+            ("c", ["text", "html", "markdown"]),
+            # single span
+            ("d", ["image"]),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in interleave_stats(df).collect()}
+    assert got["a"] == dict(doc_id="a", n_spans=4, n_transitions=2,
+                            max_media_run=2, max_text_run=1, first_media_idx=1)
+    assert got["b"] == dict(doc_id="b", n_spans=3, n_transitions=0,
+                            max_media_run=3, max_text_run=0, first_media_idx=0)
+    assert got["c"] == dict(doc_id="c", n_spans=3, n_transitions=0,
+                            max_media_run=0, max_text_run=3, first_media_idx=-1)
+    assert got["d"] == dict(doc_id="d", n_spans=1, n_transitions=0,
+                            max_media_run=1, max_text_run=0, first_media_idx=0)
+
+
+def _flat(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=d, offset=i, kind=k,
+             text="x" if k not in ("pdf", "image") else "",
+             media_ref=f"m://{d}/{i}" if k in ("pdf", "image") else "")
+         for d, kinds in rows for i, k in enumerate(kinds)],
+        "doc_id string, offset int, kind string, text string, media_ref string",
+    )
+
+
+def test_pairing_tie_breaks_earlier(spark):
+    # T M T : media at 1 is equidistant from text 0 and 2 -> pairs to 0
+    df = _flat(spark, [("a", ["text", "image", "text"])])
+    [r] = media_text_pairing(df).collect()
+    assert (r["paired_text_idx"], r["pair_dist"]) == (0, 1)
+
+
+def test_pairing_directional_and_unpairable(spark):
+    df = _flat(
+        spark,
+        [
+            # M M T: both media pair forward to 2
+            ("a", ["pdf", "image", "text"]),
+            # T M M: both media pair back to 0
+            ("b", ["text", "pdf", "image"]),
+            # all-media doc: unpairable -> -1 sentinels
+            ("c", ["image", "pdf"]),
+        ],
+    )
+    got = {(r["doc_id"], r["media_idx"]): (r["paired_text_idx"], r["pair_dist"])
+           for r in media_text_pairing(df).collect()}
+    assert got[("a", 0)] == (2, 2) and got[("a", 1)] == (2, 1)
+    assert got[("b", 1)] == (0, 1) and got[("b", 2)] == (0, 2)
+    assert got[("c", 0)] == (-1, -1) and got[("c", 1)] == (-1, -1)
+
+
+def test_epoch_shuffle_total_deterministic_permutation(spark):
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    a = epoch_shuffle(docs, n_shards=8, seed="s1")
+    # total: every doc exactly once
+    assert a.count() == 400 and a.select("doc_id").distinct().count() == 400
+    # positions within each shard are dense 0..n-1
+    dense = a.groupBy("shard").agg(
+        F.count("*").alias("n"), (F.max("pos") + 1).alias("mx"),
+        F.countDistinct("pos").alias("d"),
+    )
+    assert all(r["n"] == r["mx"] == r["d"] for r in dense.collect())
+    # deterministic across independent builds and partitionings
+    b = epoch_shuffle(docs.repartition(13), n_shards=8, seed="s1")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a different seed yields a different permutation
+    c = epoch_shuffle(docs, n_shards=8, seed="s2")
+    assert a.exceptAll(c).count() > 0
+
+
+def test_epoch_shuffle_shard_balance(spark):
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    sizes = [r["n"] for r in epoch_shuffle(docs, n_shards=8, seed="s1")
+             .groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8
+    # md5 is uniform: no shard more than 30% off the mean at n=4000
+    assert max(sizes) < 500 * 1.3 and min(sizes) > 500 * 0.7

@@ -111,6 +111,17 @@ BOUNDS = {
     # scaffold repart + the two salted-prefix window exchanges
     "quota_tokens_per_source": (3, 0, 2, False),
     "shard_assign": (2, 0, 1, False),
+    # all 5 shuffles are the synth scaffolding that BUILDS the nested
+    # interleaved table locally (repart + dup-redirect join + doc regroup);
+    # the fold itself is a row-local F.aggregate — zero shuffles, zero
+    # windows of its own (production reads the Iceberg table directly)
+    "interleave_stats": (5, 0, 0, True),
+    # same synth scaffold; the pairing's two frame-bound window passes
+    # share ONE Window node (same partitioning+ordering, different frames)
+    "media_text_pairing": (5, 0, 1, True),
+    # 2 = input-split repart scaffold + the shard-window hash exchange;
+    # the per-shard row_number is the single bounded window sort
+    "epoch_shuffle": (2, 0, 1, False),
     "events_sessionize": (1, 0, 2, False),
     "events_hourly_rollup": (1, 0, 0, False),
     "tpch_q1_pricing_summary": (1, 0, 0, True),

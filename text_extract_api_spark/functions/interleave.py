@@ -1,0 +1,140 @@
+"""Interleaved-sequence structure operators — multimodal curation signals.
+
+The input contract's payload is an *interleaved* text+media span sequence
+(``BASELINE.json:input_hint``); these operators measure and exploit that
+ordering, which none of the per-span or per-doc aggregates elsewhere do:
+
+- :func:`interleave_stats` — per document, the modality *run structure* of
+  the span sequence: text<->media transition count, longest consecutive
+  media / text runs, and the index of the first media span. VLM data
+  recipes (MMC4/OBELICS-style) gate on exactly these (e.g. drop docs whose
+  media all clusters at the top, or with degenerate media-only runs).
+  Implemented as a single ``F.aggregate`` fold over the nested ``spans``
+  array — **zero shuffles**: the interleaved table already carries the
+  sequence per row, so the whole signal is row-local whole-stage codegen.
+  At 100 TB this scans once and never exchanges.
+
+- :func:`media_text_pairing` — MMC4-style image-text alignment stand-in:
+  assign every media span its nearest text-carrying span by sequence
+  distance (tie -> the earlier span, matching MMC4's "assign to preceding
+  text on tie"). Implemented over the flat span table with two frame-bound
+  window passes (last-non-null before / first-non-null after) sharing ONE
+  hash exchange on ``doc_id``; per-window state is O(1) per row (running
+  last / first), never a per-doc buffer, so a pathological million-span
+  document streams through the frame without materializing. The real
+  CLIP-score refinement the reference ecosystem would apply is an external
+  model (env-blocked here, like the OCR codecs); sequence-distance is the
+  deterministic, oracle-checkable core.
+
+Reference provenance: the reference processes documents as ordered page/
+span streams (text_extract_api/extract/strategies/strategy.py,
+converters/pdf_to_jpeg.py:16); the interleaved ordering invariants here are
+the batch re-expression of that per-document ordered traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MEDIA_KINDS = ("pdf", "image")
+
+
+def interleave_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-doc modality run structure of the interleaved span sequence.
+
+    Single fold (``F.aggregate``) over the already-ordered ``spans`` array:
+    state = (idx, prev flag, current run, best media run, best text run,
+    transitions, first media idx). Pure JVM expressions, zero shuffles,
+    O(1) state per document regardless of span count.
+
+    Returns ``(doc_id, n_spans, n_transitions, max_media_run,
+    max_text_run, first_media_idx)`` with ``first_media_idx = -1`` for
+    documents containing no media span (sentinel, not NULL: nullable ints
+    decay to float64 through pandas/Arrow on the oracle side — the same
+    reason events_asof_purchase coalesces to -1).
+    """
+    flags = F.transform(
+        F.col(spans_col), lambda s: s["kind"].isin(*MEDIA_KINDS)
+    )
+    init = F.struct(
+        F.lit(0).alias("idx"),
+        F.lit(None).cast("boolean").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("max_m"),
+        F.lit(0).alias("max_t"),
+        F.lit(0).alias("trans"),
+        F.lit(-1).alias("first_m"),
+    )
+
+    def step(acc, m):
+        same = acc["prev"].isNotNull() & (acc["prev"] == m)
+        cur = F.when(same, acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            (acc["idx"] + 1).alias("idx"),
+            m.alias("prev"),
+            cur.alias("cur"),
+            F.when(m, F.greatest(acc["max_m"], cur)).otherwise(acc["max_m"]).alias("max_m"),
+            F.when(~m, F.greatest(acc["max_t"], cur)).otherwise(acc["max_t"]).alias("max_t"),
+            (
+                acc["trans"]
+                + F.when(acc["prev"].isNotNull() & (acc["prev"] != m), 1).otherwise(0)
+            ).alias("trans"),
+            F.when(m & (acc["first_m"] < 0), acc["idx"]).otherwise(acc["first_m"]).alias("first_m"),
+        )
+
+    agg = F.aggregate(flags, init, step)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(spans_col).cast("int").alias("n_spans"),
+        agg["trans"].cast("int").alias("n_transitions"),
+        agg["max_m"].cast("int").alias("max_media_run"),
+        agg["max_t"].cast("int").alias("max_text_run"),
+        agg["first_m"].cast("int").alias("first_media_idx"),
+    )
+
+
+def media_text_pairing(flat: DataFrame) -> DataFrame:
+    """Nearest-text assignment for every media span (MMC4-style pairing).
+
+    ``flat`` is the flat span table ``(doc_id, offset, kind, text,
+    media_ref)`` with ``offset`` the 0-based sequence index. For each media
+    span, emit the offset of the nearest text-carrying span by sequence
+    distance; ties break to the EARLIER span. Docs with no text spans pair
+    to -1 (sentinel for "unpairable" — surfaced, not dropped; sentinel not
+    NULL for the same pandas float64-decay reason as interleave_stats).
+
+    One hash exchange on ``doc_id`` feeds both frame-bound windows
+    (running last-non-null / first-non-null), each O(1) state per row.
+    """
+    is_media = F.col("kind").isin(*MEDIA_KINDS)
+    text_off = F.when(~is_media, F.col("offset"))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    prev_t = F.last(text_off, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_t = F.first(text_off, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    paired = (
+        F.when(prev_t.isNull(), next_t)
+        .when(next_t.isNull(), prev_t)
+        .when(F.col("offset") - prev_t <= next_t - F.col("offset"), prev_t)
+        .otherwise(next_t)
+    )
+    return (
+        flat.withColumn("paired_text_idx", paired)
+        .filter(is_media)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("offset").cast("int").alias("media_idx"),
+            "media_ref",
+            F.coalesce(F.col("paired_text_idx"), F.lit(-1))
+            .cast("int")
+            .alias("paired_text_idx"),
+            F.coalesce(
+                F.abs(F.col("offset") - F.col("paired_text_idx")), F.lit(-1)
+            )
+            .cast("int")
+            .alias("pair_dist"),
+        )
+    )

@@ -491,3 +491,60 @@ c AS (
 SELECT {key_col}, {stratum_col}, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {budget}
 """.strip()
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    seed: str = "epoch0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hierarchical training-order shuffle for one epoch.
+
+    Training loaders don't sort 10^12 documents globally — they shuffle at
+    two levels: documents hash into shards, and each shard is shuffled
+    internally; the epoch order is (shard, pos) lexicographic. This operator
+    produces exactly that order with NO RNG: both levels derive from
+    ``md5(key||seed)`` (the engine-portable uniform hash used by every
+    sampler in this module), so a restarted epoch regenerates the identical
+    permutation — the resumability property the north rule demands.
+
+    Plan shape: one hash exchange on ``shard`` (parallelism == ``n_shards``;
+    pick shards >> executors at scale), then a per-shard window sort of
+    corpus/n_shards rows — never a global single-partition ``row_number``.
+    Ties in the order hash break on the key, so output is total and stable.
+
+    Returns ``(key, shard, pos)``; global epoch order = ORDER BY shard, pos.
+    """
+    key = F.col(key_col)
+    shard = F.pmod(hash_u32_col(key, seed + ":shard"), F.lit(n_shards)).cast("int")
+    order_u = hash_u32_col(key, seed + ":order")
+    w = Window.partitionBy("shard").orderBy(F.col("_ord"), key)
+    return (
+        docs.select(key.alias(key_col), shard.alias("shard"), order_u.alias("_ord"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def epoch_shuffle_sql(
+    n_shards: int,
+    seed: str = "epoch0",
+    key_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`epoch_shuffle` — same two md5-derived
+    levels, expressed directly."""
+    sh = hash_u32_sql(key_col, seed + ":shard")
+    ou = hash_u32_sql(key_col, seed + ":order")
+    return f"""
+WITH t AS (
+  SELECT {key_col},
+         CAST(({sh}) % {n_shards} AS INT) AS shard,
+         ({ou}) AS u
+  FROM {table}
+)
+SELECT {key_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY u, {key_col}) - 1 AS INT) AS pos
+FROM t
+""".strip()
