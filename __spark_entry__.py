@@ -3961,6 +3961,22 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal curation funnel (the VLM analog of
+    corpus_prep_e2e): keep docs that are genuinely interleaved (has media,
+    >=2 modality transitions, media runs <=2) AND text-anchored (>=50% of
+    media spans have adjacent text). Row-local stats fold + one
+    groupBy(doc_id) + one doc_id equi-join — both sides hash-partitioned
+    by doc_id, AQE reuses the exchange."""
+    from text_extract_api_spark.functions.interleave import mm_curation
+
+    docs, _ = synthesize_interleaved(spark, sf_dir)
+    flat = synth_flat_spans(spark, sf_dir)
+    return mm_curation(
+        docs, flat.select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window rotates coverage
     (VERDICT r3 #1: the driver checks exactly the FIRST 50 keys; 109 are
@@ -3999,10 +4015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
       pack_sequences (all r3-green, code unchanged). After this round
       every registered query has had at least one driver-green row; the
-      r5 window should lead with the three ops added after this round's
-      window froze (interleave_stats, media_text_pairing, epoch_shuffle —
-      never driver-checked), then any ops changed in r5, then the
-      oldest-green tail (tpch/events/flagship pipelines).
+      r5 window should lead with the four ops added after this round's
+      window froze (interleave_stats, media_text_pairing, epoch_shuffle,
+      mm_corpus_prep — never driver-checked), then any ops changed in r5,
+      then the oldest-green tail (tpch/events/flagship pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
@@ -4140,11 +4156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
         "corpus_mix_weights": q_corpus_mix_weights,
-        # --- added after the r4 window froze (positions 113-115): locally
+        # --- added after the r4 window froze (positions 113-116): locally
         # parity-verified this round; MUST lead the r5 driver window.
         "interleave_stats": q_interleave_stats,
         "media_text_pairing": q_media_text_pairing,
         "epoch_shuffle": q_epoch_shuffle,
+        "mm_corpus_prep": q_mm_corpus_prep,
     }
 
 
@@ -4951,4 +4968,73 @@ FROM w WHERE kind IN ('pdf','image')
         "epoch_shuffle": _sampling.epoch_shuffle_sql(
             EPOCH_SHARDS, seed="r4epoch"
         ),
+        # Composition of the interleave_stats and media_text_pairing CTE
+        # chains; gates in integer arithmetic ('//' floors = Spark's
+        # positive-int cast truncation).
+        "mm_corpus_prep": f"""
+WITH {SYNTH_CTE},
+f AS (
+  SELECT doc_id, k, (kind IN ('pdf','image')) AS m FROM spans
+),
+w AS (
+  SELECT doc_id, k, m,
+         CASE WHEN lag(m) OVER (PARTITION BY doc_id ORDER BY k) IS NOT NULL
+                   AND lag(m) OVER (PARTITION BY doc_id ORDER BY k) <> m
+              THEN 1 ELSE 0 END AS tr,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k)
+           - row_number() OVER (PARTITION BY doc_id, m ORDER BY k) AS grp
+  FROM f
+),
+runs AS (
+  SELECT doc_id, m, grp, COUNT(*) AS run_len FROM w GROUP BY doc_id, m, grp
+),
+a1 AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_spans,
+         CAST(SUM(tr) AS INT) AS n_transitions,
+         CAST(COALESCE(MIN(CASE WHEN m THEN k END), -1) AS INT) AS first_media_idx
+  FROM w GROUP BY doc_id
+),
+a2 AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN m THEN run_len END), 0) AS INT) AS max_media_run
+  FROM runs GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, k, kind,
+         CASE WHEN kind NOT IN ('pdf','image') THEN k END AS toff
+  FROM spans
+),
+pw AS (
+  SELECT doc_id, k, kind,
+         last_value(toff IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(toff IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY k
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM t
+),
+pd AS (
+  SELECT doc_id,
+         COALESCE(abs(k - (CASE WHEN prev_t IS NULL THEN next_t
+                                WHEN next_t IS NULL THEN prev_t
+                                WHEN k - prev_t <= next_t - k THEN prev_t
+                                ELSE next_t END)), -1) AS dist
+  FROM pw WHERE kind IN ('pdf','image')
+),
+anch AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_media,
+         CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS INT) AS n_adjacent
+  FROM pd GROUP BY doc_id
+)
+SELECT a1.doc_id, n_spans, n_transitions, max_media_run, n_media, n_adjacent,
+       CAST((100 * n_adjacent) // n_media AS INT) AS adj_pct
+FROM a1
+JOIN a2 ON a1.doc_id = a2.doc_id
+JOIN anch ON a1.doc_id = anch.doc_id
+WHERE first_media_idx >= 0 AND n_transitions >= 2 AND max_media_run <= 2
+  AND (100 * n_adjacent) // n_media >= 50
+""".strip(),
     }

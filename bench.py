@@ -81,6 +81,7 @@ HEADLINE = [
     "interleave_stats",
     "media_text_pairing",
     "epoch_shuffle",
+    "mm_corpus_prep",
     "shard_assign",
     "corpus_prep_e2e",
     "dedup_embedding_cosine",

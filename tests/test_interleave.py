@@ -115,3 +115,23 @@ def test_epoch_shuffle_shard_balance(spark):
     assert len(sizes) == 8
     # md5 is uniform: no shard more than 30% off the mean at n=4000
     assert max(sizes) < 500 * 1.3 and min(sizes) > 500 * 0.7
+
+
+def test_mm_curation_gates(spark):
+    from text_extract_api_spark.functions.interleave import mm_curation
+
+    shapes = [
+        ("keep_perfect", ["text", "image", "text", "pdf", "text"]),   # kept
+        ("drop_few_trans", ["pdf", "image", "pdf", "text"]),          # 1 transition
+        ("drop_media_wall", ["text", "pdf", "image", "pdf", "text"]), # run 3
+        ("drop_no_media", ["text", "html", "markdown"]),              # no media
+        ("keep_partial", ["text", "image", "text", "pdf", "image"]),  # adj 2/3 = 66
+    ]
+    nested = _nested(spark, shapes)
+    flat = _flat(spark, shapes)
+    got = {r["doc_id"]: r.asDict() for r in mm_curation(nested, flat).collect()}
+    assert set(got) == {"keep_perfect", "keep_partial"}
+    assert got["keep_perfect"]["adj_pct"] == 100
+    assert got["keep_partial"]["n_media"] == 3
+    assert got["keep_partial"]["n_adjacent"] == 2
+    assert got["keep_partial"]["adj_pct"] == 66

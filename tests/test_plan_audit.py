@@ -122,6 +122,11 @@ BOUNDS = {
     # 2 = input-split repart scaffold + the shard-window hash exchange;
     # the per-shard row_number is the single bounded window sort
     "epoch_shuffle": (2, 0, 1, False),
+    # 10 STATIC: the synth scaffold replays under the stats side AND the
+    # pairing side (identical exchanges -> AQE reuse, the tfidf lesson);
+    # the funnel's own exchanges are the pairing groupBy(doc_id) and the
+    # doc_id equi-join
+    "mm_corpus_prep": (10, 0, 1, True),
     "events_sessionize": (1, 0, 2, False),
     "events_hourly_rollup": (1, 0, 0, False),
     "tpch_q1_pricing_summary": (1, 0, 0, True),

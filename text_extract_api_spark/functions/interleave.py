@@ -138,3 +138,61 @@ def media_text_pairing(flat: DataFrame) -> DataFrame:
             .alias("pair_dist"),
         )
     )
+
+
+def mm_curation(
+    docs_nested: DataFrame,
+    flat: DataFrame,
+    min_transitions: int = 2,
+    max_media_run: int = 2,
+    min_adj_pct: int = 50,
+) -> DataFrame:
+    """Composed multimodal curation funnel (the VLM analog of the text
+    corpus-prep pipeline): keep documents that are *genuinely interleaved*
+    and whose media is *anchored to text*, MMC4/OBELICS-style.
+
+    Gates, all integer arithmetic (hash-stable on any engine):
+
+    1. has media (``first_media_idx >= 0``);
+    2. interleaved structure: ``n_transitions >= min_transitions`` and
+       ``max_media_run <= max_media_run`` (media walls are galleries, not
+       documents);
+    3. text anchoring: ``adj_pct = 100*n_adjacent // n_media >=
+       min_adj_pct`` where adjacent means the nearest text span sits at
+       sequence distance 1.
+
+    Plan shape: the stats gate is the row-local :func:`interleave_stats`
+    fold (zero shuffles of its own); the anchoring side is one
+    groupBy(doc_id) over :func:`media_text_pairing`'s windowed output,
+    already hash-partitioned by doc_id — AQE reuses the exchange — plus
+    one equi-join on doc_id to combine the two signals. Nothing in the
+    funnel is quadratic or driver-side.
+    """
+    stats = interleave_stats(docs_nested).filter(
+        (F.col("first_media_idx") >= 0)
+        & (F.col("n_transitions") >= min_transitions)
+        & (F.col("max_media_run") <= max_media_run)
+    )
+    anchored = (
+        media_text_pairing(flat)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_media"),
+            F.sum(F.when(F.col("pair_dist") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_adjacent"),
+        )
+        .withColumn(
+            "adj_pct",
+            (F.lit(100) * F.col("n_adjacent") / F.col("n_media"))
+            .cast("int"),
+        )
+    )
+    return (
+        stats.join(anchored, "doc_id")
+        .filter(F.col("adj_pct") >= min_adj_pct)
+        .select(
+            "doc_id", "n_spans", "n_transitions", "max_media_run",
+            "n_media", "n_adjacent", "adj_pct",
+        )
+    )
