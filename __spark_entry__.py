@@ -3948,6 +3948,24 @@ def q_media_text_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal at span granularity over the
+    interleaved corpus: text spans whose exact payload recurs in >=2
+    DISTINCT docs are dropped (the synth duplicate pairs make this
+    non-trivial: both members of each eff_id-sharing pair lose every
+    text span), media spans always survive, and each doc re-emits its
+    surviving-sequence fingerprint. Three bounded exchanges, none
+    carrying span text — see interleave.strip_boilerplate_spans."""
+    from text_extract_api_spark.functions.interleave import (
+        strip_boilerplate_spans,
+    )
+
+    flat = synth_flat_spans(spark, sf_dir)
+    return strip_boilerplate_spans(
+        flat.select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hierarchical training-epoch shuffle: md5-hash sharding
     + md5-ordered position within each shard — the (shard, pos) order real
@@ -4015,10 +4033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
       pack_sequences (all r3-green, code unchanged). After this round
       every registered query has had at least one driver-green row; the
-      r5 window should lead with the four ops added after this round's
+      r5 window should lead with the five ops added after this round's
       window froze (interleave_stats, media_text_pairing, epoch_shuffle,
-      mm_corpus_prep — never driver-checked), then any ops changed in r5,
-      then the oldest-green tail (tpch/events/flagship pipelines).
+      mm_corpus_prep, span_boilerplate_strip — never driver-checked),
+      then any ops changed in r5, then the oldest-green tail
+      (tpch/events/flagship pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
@@ -4162,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_text_pairing": q_media_text_pairing,
         "epoch_shuffle": q_epoch_shuffle,
         "mm_corpus_prep": q_mm_corpus_prep,
+        "span_boilerplate_strip": q_span_boilerplate_strip,
     }
 
 
@@ -4968,6 +4988,36 @@ FROM w WHERE kind IN ('pdf','image')
         "epoch_shuffle": _sampling.epoch_shuffle_sql(
             EPOCH_SHARDS, seed="r4epoch"
         ),
+        # Span-level boilerplate strip: distinct-DOC counts on md5(text),
+        # media spans always kept; clean_fp joins kept pieces (media as
+        # [media_ref] markers) on chr(31) in sequence order. string_agg
+        # skips the NULLs the CASE emits for dropped spans — the same
+        # conditional-collect contract as the Spark side's collect_list.
+        "span_boilerplate_strip": f"""
+WITH {SYNTH_CTE},
+b AS (
+  SELECT doc_id, k,
+         (kind IN ('pdf','image')) AS is_media,
+         CASE WHEN kind IN ('pdf','image')
+              THEN '[' || media_ref || ']' ELSE text END AS piece,
+         CASE WHEN kind NOT IN ('pdf','image') THEN md5(text) END AS fp
+  FROM spans
+),
+c AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+  FROM b WHERE fp IS NOT NULL GROUP BY fp
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN b.is_media THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN b.is_media OR c.n_docs < 2 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(
+             CASE WHEN b.is_media OR c.n_docs < 2 THEN b.piece END,
+             chr(31) ORDER BY b.k), '')) AS clean_fp
+FROM b LEFT JOIN c ON b.fp = c.fp
+GROUP BY b.doc_id
+""".strip(),
         # Composition of the interleave_stats and media_text_pairing CTE
         # chains; gates in integer arithmetic ('//' floors = Spark's
         # positive-int cast truncation).

@@ -82,6 +82,7 @@ HEADLINE = [
     "media_text_pairing",
     "epoch_shuffle",
     "mm_corpus_prep",
+    "span_boilerplate_strip",
     "shard_assign",
     "corpus_prep_e2e",
     "dedup_embedding_cosine",

@@ -117,6 +117,47 @@ def test_epoch_shuffle_shard_balance(spark):
     assert max(sizes) < 500 * 1.3 and min(sizes) > 500 * 0.7
 
 
+def test_strip_boilerplate_spans_hand_cases(spark):
+    import hashlib
+
+    from text_extract_api_spark.functions.interleave import (
+        strip_boilerplate_spans,
+    )
+
+    rows = [
+        # "NAV" recurs in docs a, b, d -> dropped from all three;
+        # media spans always survive; intra-doc repeats (doc c) survive
+        # (distinct-doc counting); doc d loses everything -> md5('').
+        ("a", 0, "text", "NAV", ""),
+        ("a", 1, "image", "", "img://a/1"),
+        ("a", 2, "text", "uniq1", ""),
+        ("b", 0, "text", "NAV", ""),
+        ("b", 1, "text", "uniq2", ""),
+        ("c", 0, "text", "CHANT", ""),
+        ("c", 1, "text", "CHANT", ""),
+        ("c", 2, "text", "CHANT", ""),
+        ("d", 0, "text", "NAV", ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, offset int, kind string, text string, media_ref string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in strip_boilerplate_spans(df).collect()}
+
+    def fp(*pieces):
+        return hashlib.md5("\x1f".join(pieces).encode()).hexdigest()
+
+    assert got["a"] == dict(doc_id="a", n_spans=3, n_media=1, n_dropped=1,
+                            clean_fp=fp("[img://a/1]", "uniq1"))
+    assert got["b"] == dict(doc_id="b", n_spans=2, n_media=0, n_dropped=1,
+                            clean_fp=fp("uniq2"))
+    assert got["c"] == dict(doc_id="c", n_spans=3, n_media=0, n_dropped=0,
+                            clean_fp=fp("CHANT", "CHANT", "CHANT"))
+    assert got["d"] == dict(doc_id="d", n_spans=1, n_media=0, n_dropped=1,
+                            clean_fp=fp(""))
+
+
 def test_mm_curation_gates(spark):
     from text_extract_api_spark.functions.interleave import mm_curation
 

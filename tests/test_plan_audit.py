@@ -116,6 +116,13 @@ BOUNDS = {
     # the fold itself is a row-local F.aggregate — zero shuffles, zero
     # windows of its own (production reads the Iceberg table directly)
     "interleave_stats": (5, 0, 0, True),
+    # 12 STATIC: the flat-synth scaffold (repart + dup-redirect join)
+    # replays under the distinct-count subtree AND the base side of the
+    # fp join (identical exchanges → AQE reuse, the media_phash lesson);
+    # the operator's own exchanges are count_distinct's two agg levels,
+    # the fp join re-exchange, and the groupBy(doc_id) reassembly — all
+    # on 32-byte hash keys or doc ids, never span text
+    "span_boilerplate_strip": (12, 0, 0, True),
     # same synth scaffold; the pairing's two frame-bound window passes
     # share ONE Window node (same partitioning+ordering, different frames)
     "media_text_pairing": (5, 0, 1, True),

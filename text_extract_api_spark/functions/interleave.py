@@ -140,6 +140,92 @@ def media_text_pairing(flat: DataFrame) -> DataFrame:
     )
 
 
+def strip_boilerplate_spans(
+    flat: DataFrame, min_docs: int = 2, media_kinds: tuple = MEDIA_KINDS
+) -> DataFrame:
+    """Cross-document boilerplate removal at SPAN granularity — the
+    interleaved-native analog of :func:`..dedup.paragraph_dedup`: drop
+    every text-carrying span whose exact payload occurs in ``min_docs``+
+    DISTINCT documents (nav bars, cookie banners, footer blocks — the
+    dominant web-extraction noise OBELICS/MMC4 strip before pairing),
+    ALWAYS keep media spans (a hot image is near-dup'd by
+    ``media_phash_neardup``, never dropped here — dropping it would
+    silently break the text↔media interleave structure downstream ops
+    key on), and re-emit each document's surviving sequence fingerprint.
+
+    Distinct-DOCUMENT counting (not raw occurrences) is what separates
+    this from ``dedup_intradoc``: a chant repeated 50× inside one doc is
+    intra-doc repetition, not corpus boilerplate, and survives this pass.
+
+    Returns one row per input document — every doc survives, including
+    all-dropped ones (n_kept = 0, clean_fp = md5(''), the
+    ``paragraph_dedup`` every-doc-survives lesson): ``(doc_id, n_spans,
+    n_media, n_dropped, clean_fp)`` with clean_fp = md5 of the kept
+    pieces in sequence order joined on chr(31); media spans contribute
+    ``[media_ref]`` markers so the fingerprint pins the full interleave
+    structure, not just the text. A NULL text payload hashes to a NULL
+    key, misses the count join, and is treated as dropped boilerplate
+    (counted in n_spans, never in clean_fp) — same discipline as
+    paragraph_dedup's NULL-element rule.
+
+    Scale design — three bounded exchanges, none carrying span text:
+    1. distinct-doc counts group on ``md5(text)`` (32-byte key, never the
+       payload — oversized spans shuffle as hashes); Catalyst's distinct
+       expansion gives map-side (fp, doc_id) dedup, so a span repeated
+       throughout a partition crosses the wire once per partition.
+    2. the count table joins back on the same fp key (co-partitioned;
+       AQE broadcasts it when the distinct-span population is small).
+    3. groupBy(doc_id) reassembly; the drop decision rides the SAME
+       aggregation as the fingerprint (conditional collect_list —
+       collect_list skips NULLs), so no fourth shuffle.
+    Reference provenance: the reference strips boilerplate per-document
+    inside the html strategy (extract/strategies/strategy.py); corpus-wide
+    recurrence is the batch signal a single-doc service cannot see.
+    """
+    is_media = F.col("kind").isin(*media_kinds)
+    base = flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("offset").alias("k"),
+        is_media.alias("is_media"),
+        F.when(
+            is_media, F.concat(F.lit("["), F.col("media_ref"), F.lit("]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("piece"),
+        F.when(~is_media, F.md5("text")).alias("fp"),
+    )
+    counts = (
+        base.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    keep = F.col("is_media") | (F.col("n_docs") < min_docs)
+    return (
+        base.join(counts, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("is_media").cast("int")).cast("bigint").alias("n_media"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct(F.col("k"), F.col("piece")))
+                            )
+                        ),
+                        lambda x: x["piece"],
+                    ),
+                    # unit separator: piece boundaries stay unambiguous
+                    # under concat ("ab"+"c" != "a"+"bc")
+                    "\x1f",
+                )
+            ).alias("clean_fp"),
+        )
+    )
+
+
 def mm_curation(
     docs_nested: DataFrame,
     flat: DataFrame,
