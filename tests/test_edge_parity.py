@@ -54,6 +54,10 @@ EDGE_SENSITIVE = [
     # per-block ws-collapse/trim — the \x0b / control-char cases pin the
     # whitespace-class discipline through a DOM round-trip
     "html_to_markdown",
+    # r4 final wave: span-level strip hashes raw span payloads — the
+    # empty/whitespace-only docs collapse to identical '' chunks across
+    # docs, exercising the everything-dropped + md5('') path corpus-wide
+    "span_boilerplate_strip",
 ]
 
 
