@@ -1,0 +1,247 @@
+"""mm_prep — the shippable, resumable MULTIMODAL corpus-prep job.
+
+    spark-submit --py-files engine.zip jobs/mm_prep.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/mmprep \
+        --run-id m1 --run-ts 2026-01-01T00:00:00 [--waves 4] [--resume]
+
+The VLM analog of ``jobs/corpus_prep.py``: the same staged-checkpoint /
+reject-table / manifest contract, but over the INTERLEAVED text+media
+corpus (the input-contract table; synthesized here from the driver data as
+the Iceberg-scan stand-in, like every other consumer of the interleaved
+shape). Composes the oracle-checked interleave operators — the structure /
+anchoring gates of ``mm_corpus_prep`` plus the cross-document span
+boilerplate signal of ``span_boilerplate_strip`` — into verdicts a
+curation team can audit, then emits the deterministic (shard, pos) epoch
+order training loaders consume.
+
+Stage layout and resume semantics (progress markers in ``out/progress``):
+
+1. **hotspans** (global, ``stage:`` marker): the corpus-wide boilerplate
+   state — md5 fingerprints of text-span payloads recurring in
+   ``--boiler-min-docs``+ DISTINCT documents. The one signal that depends
+   on every other document; materialized once so the verdict pass becomes
+   doc-local (the ``noncanon`` pattern).
+2. **verdicts** (bucket-resumable, per-bucket ``done`` markers): per-doc
+   keep/reject verdicts with reasons (no_media / not_interleaved /
+   unanchored / boilerplate) in ``--waves`` wave groups, each wave
+   overwriting its own ``(run_id, wave)`` partition then appending
+   markers — a crash re-does at most one wave, never duplicates rows.
+3. **rejects** (global): the reject table, queryable by reason.
+4. **manifest** (global): keep docs → ``epoch_shuffle`` → the
+   (doc_id, shard, pos) loader manifest partitioned by shard; zero RNG, so
+   a resumed run regenerates the identical permutation.
+
+Exactly-once: every stage writes its output BEFORE its marker and every
+stage output is a deterministic overwrite, so a crash between write and
+marker re-runs one stage onto identical bytes (``SPARK_GRAFT_CRASH_AFTER``
+injects crashes inside exactly those windows for the pytest).
+
+Prints one JSON line: docs_in, kept, rejected, manifest_rows, wall sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from text_extract_api_spark.checkpoint import (  # noqa: E402
+    bucket_col,
+    completed_buckets,
+    completed_stages,
+    write_bucket_marks,
+    write_stage_marker,
+)
+from text_extract_api_spark.functions.interleave import (  # noqa: E402
+    MEDIA_KINDS,
+    mm_funnel_verdicts,
+)
+from text_extract_api_spark.functions.sampling import epoch_shuffle  # noqa: E402
+from text_extract_api_spark.io import read_table, write_table  # noqa: E402
+from text_extract_api_spark.session import get_spark  # noqa: E402
+from text_extract_api_spark.synth import (  # noqa: E402
+    synth_flat_spans,
+    synthesize_interleaved,
+)
+
+
+def _crash_if(point: str) -> None:
+    if os.environ.get("SPARK_GRAFT_CRASH_AFTER") == point:
+        raise RuntimeError(f"injected crash: {point} written, marker not")
+
+
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="mmprep-0")
+    ap.add_argument("--run-ts", default="2026-01-01 00:00:00")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--boiler-min-docs", type=int, default=2)
+    ap.add_argument("--boiler-max-pct", type=int, default=50)
+    ap.add_argument("--min-transitions", type=int, default=2)
+    ap.add_argument("--max-media-run", type=int, default=2)
+    ap.add_argument("--min-adj-pct", type=int, default=50)
+    ap.add_argument("--n-shards", type=int, default=8)
+    # run-id-INDEPENDENT on purpose: resubmitting under a new run id must
+    # not silently change the epoch permutation (and the crash-resume test
+    # compares manifests across run ids)
+    ap.add_argument("--epoch-seed", default="epoch0")
+    args = ap.parse_args(argv)
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            "mm_prep", master=args.master,
+            extra_conf={
+                "spark.sql.sources.partitionOverwriteMode": "dynamic",
+                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            },
+        )
+    else:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    hotspans_loc = f"{args.out}/hotspans"
+    verdicts_loc = f"{args.out}/verdicts"
+    rejects_loc = f"{args.out}/rejects"
+    manifest_loc = f"{args.out}/manifest"
+    progress_loc = f"{args.out}/progress"
+
+    # The interleaved corpus (Iceberg-scan stand-in). localCheckpoint both
+    # shapes once: four stages consume them and the synthesis subtree
+    # would otherwise replay per stage.
+    docs_nested, _ = synthesize_interleaved(spark, args.sf_dir)
+    docs_nested = docs_nested.localCheckpoint()
+    flat = synth_flat_spans(spark, args.sf_dir).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    ).localCheckpoint()
+
+    stages = (
+        completed_stages(spark, progress_loc, args.run_id) if args.resume else set()
+    )
+    t0 = time.time()
+
+    # ---- stage 1: corpus-global boilerplate fingerprints -----------------
+    if "hotspans" not in stages:
+        texts = flat.filter(~F.col("kind").isin(*MEDIA_KINDS)).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.md5("text").alias("fp"),
+        )
+        hot = (
+            texts.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= args.boiler_min_docs)
+        )
+        write_table(hot.coalesce(8), hotspans_loc, mode="overwrite")
+        _crash_if("hotspans")
+        write_stage_marker(
+            spark, progress_loc, args.run_id, args.run_ts, "hotspans"
+        )
+    hot_fps = read_table(spark, hotspans_loc)
+
+    # ---- stage 2: per-doc verdicts, wave/bucket-resumable ----------------
+    nested_b = docs_nested.withColumn(
+        "bucket", bucket_col(F.col("doc_id"), args.n_buckets)
+    )
+    todo = nested_b
+    if args.resume:
+        done = completed_buckets(spark, progress_loc, args.run_id)
+        todo = nested_b.join(F.broadcast(done), "bucket", "left_anti")
+    verdicts_done = 0
+    for wave in range(args.waves):
+        in_wave = F.pmod(F.col("bucket"), F.lit(args.waves)) == wave
+        wave_nested = todo.filter(in_wave)
+        if args.waves > 1 and wave_nested.isEmpty():
+            continue
+        wave_flat = flat.join(
+            wave_nested.select("doc_id"), "doc_id", "left_semi"
+        )
+        verdicts = mm_funnel_verdicts(
+            wave_nested,
+            wave_flat,
+            hot_fps,
+            min_transitions=args.min_transitions,
+            max_media_run=args.max_media_run,
+            min_adj_pct=args.min_adj_pct,
+            boiler_max_pct=args.boiler_max_pct,
+        ).join(wave_nested.select("doc_id", "bucket"), "doc_id")
+        out = verdicts.select(
+            "doc_id", "verdict", "boiler_pct", "bucket",
+            F.lit(args.run_id).alias("run_id"), F.lit(wave).alias("wave"),
+        )
+        write_table(
+            out, verdicts_loc, mode="overwrite", partition_by=["run_id", "wave"]
+        )
+        _crash_if(f"verdicts_wave_{wave}")
+        written = read_table(spark, verdicts_loc).filter(
+            (F.col("run_id") == args.run_id) & (F.col("wave") == wave)
+        )
+        write_bucket_marks(written, progress_loc, args.run_id, args.run_ts)
+        verdicts_done += written.count()
+
+    all_verdicts = read_table(spark, verdicts_loc).filter(
+        F.col("run_id") == args.run_id
+    )
+
+    # ---- stage 3: reject table (reason-queryable) ------------------------
+    if "rejects" not in stages:
+        write_table(
+            all_verdicts.filter(F.col("verdict") != "keep")
+            .select("doc_id", F.col("verdict").alias("reason"), "boiler_pct")
+            .coalesce(8),
+            rejects_loc, mode="overwrite",
+        )
+        _crash_if("rejects")
+        write_stage_marker(spark, progress_loc, args.run_id, args.run_ts, "rejects")
+
+    # ---- stage 4: deterministic epoch-order manifest ---------------------
+    manifest_rows = 0
+    if "manifest" not in stages:
+        kept = all_verdicts.filter(F.col("verdict") == "keep").select("doc_id")
+        manifest = epoch_shuffle(
+            kept, n_shards=args.n_shards, seed=args.epoch_seed
+        )
+        write_table(
+            manifest.repartition(args.n_shards, "shard"),
+            manifest_loc, mode="overwrite", partition_by=["shard"],
+        )
+        _crash_if("manifest")
+        manifest_rows = read_table(spark, manifest_loc).count()
+        write_stage_marker(
+            spark, progress_loc, args.run_id, args.run_ts, "manifest",
+            metrics={"docs": manifest_rows},
+        )
+    else:
+        manifest_rows = read_table(spark, manifest_loc).count()
+
+    n_rejected = read_table(spark, rejects_loc).count()
+    n_docs = docs_nested.count()
+    wall = time.time() - t0
+    summary = {
+        "run_id": args.run_id,
+        "docs_in": n_docs,
+        "verdicts_written": verdicts_done,
+        "kept": int(all_verdicts.filter(F.col("verdict") == "keep").count()),
+        "rejected": int(n_rejected),
+        "manifest_rows": int(manifest_rows),
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
+        "waves": args.waves,
+    }
+    print(json.dumps(summary))
+    if own_session:
+        spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,65 @@ def test_strip_boilerplate_spans_hand_cases(spark):
                             clean_fp=fp(""))
 
 
+def test_mm_funnel_verdicts_every_reason(spark):
+    from text_extract_api_spark.functions.interleave import (
+        mm_funnel_verdicts,
+    )
+
+    shapes = [
+        ("no_media", ["text", "html", "markdown"]),
+        ("wall", ["text", "pdf", "image", "pdf", "text"]),      # run 3
+        # M M T M M: runs 2, transitions 2, but only 2/4 media at dist 1
+        # -> unanchored under min_adj_pct=60
+        ("unanchored", ["image", "pdf", "text", "pdf", "image"]),
+        ("boiler", ["text", "image", "text", "pdf", "text"]),   # hot text
+        ("keep", ["text", "image", "text", "pdf", "text"]),
+    ]
+    nested = _nested(spark, shapes)
+    flat = _flat(spark, shapes)
+    # every text span of doc 'boiler' (and every other doc — _flat gives
+    # all text spans the same payload "x") is corpus-hot; gate only doc
+    # 'boiler' by leaving the others' boiler_max_pct head-room via an
+    # empty hot set first, then a full one.
+    import hashlib
+
+    hot_all = spark.createDataFrame(
+        [(hashlib.md5(b"x").hexdigest(),)], "fp string"
+    )
+    hot_none = spark.createDataFrame([], "fp string")
+
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in mm_funnel_verdicts(
+            nested, flat, hot_none, min_adj_pct=60
+        ).collect()
+    }
+    assert got == {
+        "no_media": "no_media",
+        "wall": "not_interleaved",
+        "unanchored": "unanchored",
+        "boiler": "keep",
+        "keep": "keep",
+    }
+
+    # with the hot set populated, the structurally-good docs flip to
+    # 'boilerplate' (all their text is corpus-recurring); the earlier
+    # gates keep precedence
+    got2 = {
+        r["doc_id"]: r["verdict"]
+        for r in mm_funnel_verdicts(
+            nested, flat, hot_all, min_adj_pct=60
+        ).collect()
+    }
+    assert got2 == {
+        "no_media": "no_media",
+        "wall": "not_interleaved",
+        "unanchored": "unanchored",
+        "boiler": "boilerplate",
+        "keep": "boilerplate",
+    }
+
+
 def test_mm_curation_gates(spark):
     from text_extract_api_spark.functions.interleave import mm_curation
 

@@ -226,6 +226,94 @@ def strip_boilerplate_spans(
     )
 
 
+def mm_funnel_verdicts(
+    docs_nested: DataFrame,
+    flat: DataFrame,
+    hot_fps: DataFrame,
+    min_transitions: int = 2,
+    max_media_run: int = 2,
+    min_adj_pct: int = 50,
+    boiler_max_pct: int = 50,
+    media_kinds: tuple = MEDIA_KINDS,
+) -> DataFrame:
+    """Per-document multimodal curation verdicts WITH REASONS — the
+    reject-table form of :func:`mm_curation` that the resumable prep job
+    (``jobs/mm_prep.py``) persists, plus the cross-document boilerplate
+    gate from :func:`strip_boilerplate_spans`.
+
+    ``hot_fps`` is the corpus-global boilerplate state: ``(fp)`` rows for
+    every md5(text) whose payload recurs in ≥ min_docs distinct documents
+    (stage 1 of the job materializes it once). Every OTHER signal is
+    doc-local, so given that one table this funnel is subset-safe: the
+    job runs it per bucket wave and a crash re-does at most one wave.
+
+    Verdict precedence (first failing gate names the reason):
+    ``no_media`` → ``not_interleaved`` (transition/media-run structure) →
+    ``unanchored`` (nearest-text distance) → ``boilerplate`` (> boiler_max_pct
+    of text spans are corpus-recurring) → ``keep``.
+
+    Returns ``(doc_id, verdict, boiler_pct)`` — one row per input doc.
+    Plan shape: the stats fold is row-local; anchoring is one windowed
+    pass + groupBy sharing the doc_id exchange; the boilerplate side is a
+    left-semi probe of 32-byte fingerprints against ``hot_fps`` (AQE
+    broadcasts it when small) + one groupBy(doc_id); verdict assembly is
+    three left equi-joins on doc_id over doc-sized frames.
+    """
+    stats = interleave_stats(docs_nested)
+    anchored = (
+        media_text_pairing(flat)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_media"),
+            F.sum(F.when(F.col("pair_dist") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_adjacent"),
+        )
+        .withColumn(
+            "adj_pct",
+            (F.lit(100) * F.col("n_adjacent") / F.col("n_media")).cast("int"),
+        )
+    )
+    texts = flat.filter(~F.col("kind").isin(*media_kinds)).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5("text").alias("fp"),
+    )
+    n_text = texts.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_text")
+    )
+    n_hot = (
+        texts.join(hot_fps.select("fp"), "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_hot"))
+    )
+    base = (
+        stats.join(anchored, "doc_id", "left")
+        .join(n_text, "doc_id", "left")
+        .join(n_hot, "doc_id", "left")
+    )
+    boiler_pct = F.when(
+        F.coalesce(F.col("n_text"), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(
+        (F.lit(100) * F.coalesce(F.col("n_hot"), F.lit(0)) / F.col("n_text"))
+        .cast("int")
+    )
+    verdict = (
+        F.when(F.col("first_media_idx") < 0, F.lit("no_media"))
+        .when(
+            (F.col("n_transitions") < min_transitions)
+            | (F.col("max_media_run") > max_media_run),
+            F.lit("not_interleaved"),
+        )
+        .when(F.coalesce(F.col("adj_pct"), F.lit(0)) < min_adj_pct,
+              F.lit("unanchored"))
+        .when(boiler_pct > boiler_max_pct, F.lit("boilerplate"))
+        .otherwise(F.lit("keep"))
+    )
+    return base.select(
+        "doc_id", verdict.alias("verdict"), boiler_pct.alias("boiler_pct")
+    )
+
+
 def mm_curation(
     docs_nested: DataFrame,
     flat: DataFrame,
