@@ -3966,6 +3966,20 @@ def q_span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_reuse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-ref reuse stats over the interleaved corpus (the OBELICS
+    hot-image prefilter): distinct-doc recurrence + raw occurrences +
+    hot flag. hot_min_docs=2 here because the synth corpus's only media
+    reuse is the eff_id-sharing duplicate pairs (n_docs ∈ {1, 2})."""
+    from text_extract_api_spark.functions.interleave import media_reuse_stats
+
+    flat = synth_flat_spans(spark, sf_dir)
+    return media_reuse_stats(
+        flat.select("doc_id", "offset", "kind", "text", "media_ref"),
+        hot_min_docs=2,
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hierarchical training-epoch shuffle: md5-hash sharding
     + md5-ordered position within each shard — the (shard, pos) order real
@@ -4033,11 +4047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
       pack_sequences (all r3-green, code unchanged). After this round
       every registered query has had at least one driver-green row; the
-      r5 window should lead with the five ops added after this round's
+      r5 window should lead with the six ops added after this round's
       window froze (interleave_stats, media_text_pairing, epoch_shuffle,
-      mm_corpus_prep, span_boilerplate_strip — never driver-checked),
-      then any ops changed in r5, then the oldest-green tail
-      (tpch/events/flagship pipelines).
+      mm_corpus_prep, span_boilerplate_strip, media_reuse_stats — never
+      driver-checked), then any ops changed in r5, then the oldest-green
+      tail (tpch/events/flagship pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
@@ -4182,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "mm_corpus_prep": q_mm_corpus_prep,
         "span_boilerplate_strip": q_span_boilerplate_strip,
+        "media_reuse_stats": q_media_reuse_stats,
     }
 
 
@@ -5017,6 +5032,15 @@ SELECT b.doc_id,
              chr(31) ORDER BY b.k), '')) AS clean_fp
 FROM b LEFT JOIN c ON b.fp = c.fp
 GROUP BY b.doc_id
+""".strip(),
+        "media_reuse_stats": f"""
+WITH {SYNTH_CTE}
+SELECT media_ref,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       COUNT(DISTINCT doc_id) >= 2 AS is_hot
+FROM spans WHERE kind IN ('pdf','image')
+GROUP BY media_ref
 """.strip(),
         # Composition of the interleave_stats and media_text_pairing CTE
         # chains; gates in integer arithmetic ('//' floors = Spark's

@@ -158,6 +158,29 @@ def test_strip_boilerplate_spans_hand_cases(spark):
                             clean_fp=fp(""))
 
 
+def test_media_reuse_stats_hand_cases(spark):
+    from text_extract_api_spark.functions.interleave import media_reuse_stats
+
+    rows = [
+        # logo: 2 distinct docs, 3 occurrences (intra-doc repeat raises
+        # n_occ but not n_docs); pdf://one: single use; text rows ignored
+        ("a", 0, "image", "", "img://logo"),
+        ("a", 1, "image", "", "img://logo"),
+        ("b", 0, "image", "", "img://logo"),
+        ("b", 1, "pdf", "", "pdf://one"),
+        ("c", 0, "text", "t", ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, offset int, kind string, text string, media_ref string",
+    )
+    got = {
+        r["media_ref"]: (r["n_docs"], r["n_occ"], r["is_hot"])
+        for r in media_reuse_stats(df, hot_min_docs=2).collect()
+    }
+    assert got == {"img://logo": (2, 3, True), "pdf://one": (1, 1, False)}
+
+
 def test_mm_funnel_verdicts_every_reason(spark):
     from text_extract_api_spark.functions.interleave import (
         mm_funnel_verdicts,

@@ -123,6 +123,10 @@ BOUNDS = {
     # the fp join re-exchange, and the groupBy(doc_id) reassembly — all
     # on 32-byte hash keys or doc ids, never span text
     "span_boilerplate_strip": (12, 0, 0, True),
+    # 6 STATIC: flat-synth scaffold (repart + dup-redirect join) + the
+    # distinct-expansion agg's two levels; keys are media refs, never
+    # payloads
+    "media_reuse_stats": (6, 0, 0, True),
     # same synth scaffold; the pairing's two frame-bound window passes
     # share ONE Window node (same partitioning+ordering, different frames)
     "media_text_pairing": (5, 0, 1, True),

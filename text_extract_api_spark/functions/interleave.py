@@ -226,6 +226,39 @@ def strip_boilerplate_spans(
     )
 
 
+def media_reuse_stats(
+    flat: DataFrame, hot_min_docs: int = 3, media_kinds: tuple = MEDIA_KINDS
+) -> DataFrame:
+    """Per-media-ref corpus reuse statistics — the OBELICS-style hot-image
+    prefilter signal: images recurring across many documents are logos,
+    icons, and tracking pixels, not content, and the VLM recipes drop or
+    down-weight them before pairing. ``span_boilerplate_strip`` is the
+    text half of that pass; this is the media half (by reference — the
+    CONTENT-level near-dup is ``media_phash_neardup``'s job).
+
+    Returns ``(media_ref, n_docs, n_occ, is_hot)`` with ``n_docs`` the
+    distinct-document recurrence, ``n_occ`` raw occurrences (an intra-doc
+    repeat raises n_occ but not n_docs — same distinction as the span
+    strip), and ``is_hot = n_docs >= hot_min_docs``.
+
+    Scale design: one groupBy(media_ref) with Catalyst's distinct
+    expansion (map-side (ref, doc) dedup before the exchange — a ref
+    repeated through a partition crosses the wire once per partition);
+    keys are refs, never payloads. Consumers anti-join or gate on is_hot.
+    """
+    media = flat.filter(F.col("kind").isin(*media_kinds)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media_ref"
+    )
+    return (
+        media.groupBy("media_ref")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .withColumn("is_hot", F.col("n_docs") >= hot_min_docs)
+    )
+
+
 def mm_funnel_verdicts(
     docs_nested: DataFrame,
     flat: DataFrame,
