@@ -16,14 +16,15 @@ order training loaders consume.
 
 Stage layout and resume semantics (progress markers in ``out/progress``):
 
-1. **hotspans** (global, ``stage:`` marker): the corpus-wide boilerplate
-   state — md5 fingerprints of text-span payloads recurring in
-   ``--boiler-min-docs``+ DISTINCT documents. The one signal that depends
-   on every other document; materialized once so the verdict pass becomes
-   doc-local (the ``noncanon`` pattern).
+1. **hotspans** (global, ``stage:`` marker): the corpus-wide state — md5
+   fingerprints of text-span payloads recurring in ``--boiler-min-docs``+
+   DISTINCT documents, plus media refs recurring in
+   ``--media-hot-min-docs``+ (the OBELICS logo/icon signal). The signals
+   that depend on every other document; materialized once so the verdict
+   pass becomes doc-local (the ``noncanon`` pattern).
 2. **verdicts** (bucket-resumable, per-bucket ``done`` markers): per-doc
    keep/reject verdicts with reasons (no_media / not_interleaved /
-   unanchored / boilerplate) in ``--waves`` wave groups, each wave
+   unanchored / boilerplate / hot_media) in ``--waves`` wave groups, each wave
    overwriting its own ``(run_id, wave)`` partition then appending
    markers — a crash re-does at most one wave, never duplicates rows.
 3. **rejects** (global): the reject table, queryable by reason.
@@ -60,6 +61,7 @@ from text_extract_api_spark.checkpoint import (  # noqa: E402
 )
 from text_extract_api_spark.functions.interleave import (  # noqa: E402
     MEDIA_KINDS,
+    media_reuse_stats,
     mm_funnel_verdicts,
 )
 from text_extract_api_spark.functions.sampling import epoch_shuffle  # noqa: E402
@@ -88,6 +90,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--boiler-min-docs", type=int, default=2)
     ap.add_argument("--boiler-max-pct", type=int, default=50)
+    # 2, not the operator's generic 3: the synth corpus's only media reuse
+    # is the eff_id-sharing duplicate pairs (n_docs never exceeds 2)
+    ap.add_argument("--media-hot-min-docs", type=int, default=2)
+    ap.add_argument("--media-hot-max-pct", type=int, default=50)
     ap.add_argument("--min-transitions", type=int, default=2)
     ap.add_argument("--max-media-run", type=int, default=2)
     ap.add_argument("--min-adj-pct", type=int, default=50)
@@ -111,6 +117,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     hotspans_loc = f"{args.out}/hotspans"
+    hotmedia_loc = f"{args.out}/hotmedia"
     verdicts_loc = f"{args.out}/verdicts"
     rejects_loc = f"{args.out}/rejects"
     manifest_loc = f"{args.out}/manifest"
@@ -142,11 +149,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             .filter(F.col("n_docs") >= args.boiler_min_docs)
         )
         write_table(hot.coalesce(8), hotspans_loc, mode="overwrite")
+        # the media half of the same corpus-global stage: refs recurring
+        # across documents (the OBELICS logo/icon signal). Both writes are
+        # deterministic overwrites under ONE marker — a crash between them
+        # re-does the whole stage onto identical bytes.
+        hot_media = media_reuse_stats(
+            flat, hot_min_docs=args.media_hot_min_docs
+        ).filter(F.col("is_hot")).select("media_ref")
+        write_table(hot_media.coalesce(8), hotmedia_loc, mode="overwrite")
         _crash_if("hotspans")
         write_stage_marker(
             spark, progress_loc, args.run_id, args.run_ts, "hotspans"
         )
     hot_fps = read_table(spark, hotspans_loc)
+    hot_refs = read_table(spark, hotmedia_loc)
 
     # ---- stage 2: per-doc verdicts, wave/bucket-resumable ----------------
     nested_b = docs_nested.withColumn(
@@ -173,6 +189,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             max_media_run=args.max_media_run,
             min_adj_pct=args.min_adj_pct,
             boiler_max_pct=args.boiler_max_pct,
+            hot_refs=hot_refs,
+            media_hot_max_pct=args.media_hot_max_pct,
         ).join(wave_nested.select("doc_id", "bucket"), "doc_id")
         out = verdicts.select(
             "doc_id", "verdict", "boiler_pct", "bucket",

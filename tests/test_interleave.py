@@ -239,6 +239,28 @@ def test_mm_funnel_verdicts_every_reason(spark):
         "keep": "boilerplate",
     }
 
+    # hot-media gate: with every media ref of doc 'keep' marked hot
+    # (_flat refs are m://{doc}/{i}), the structurally-good doc flips to
+    # 'hot_media'; text boilerplate keeps precedence for doc 'boiler'
+    # only when its fps are hot too — here hot_none isolates the media
+    # gate.
+    hot_refs = spark.createDataFrame(
+        [("m://keep/1",), ("m://keep/3",)], "media_ref string"
+    )
+    got3 = {
+        r["doc_id"]: r["verdict"]
+        for r in mm_funnel_verdicts(
+            nested, flat, hot_none, min_adj_pct=60, hot_refs=hot_refs
+        ).collect()
+    }
+    assert got3 == {
+        "no_media": "no_media",
+        "wall": "not_interleaved",
+        "unanchored": "unanchored",
+        "boiler": "keep",
+        "keep": "hot_media",
+    }
+
 
 def test_mm_curation_gates(spark):
     from text_extract_api_spark.functions.interleave import mm_curation

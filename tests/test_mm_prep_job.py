@@ -71,7 +71,8 @@ def test_mm_prep_end_to_end_and_idempotent_resume(spark, tmp_path):
     assert rej.count() == s1["rejected"]
     assert set(
         r["reason"] for r in rej.select("reason").distinct().collect()
-    ) <= {"no_media", "not_interleaved", "unanchored", "boilerplate"}
+    ) <= {"no_media", "not_interleaved", "unanchored", "boilerplate",
+          "hot_media"}
     assert man.join(rej, man["doc_id"] == rej["doc_id"], "inner").count() == 0
 
     # resume of a COMPLETE run: nothing recomputed, outputs unchanged

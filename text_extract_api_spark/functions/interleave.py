@@ -268,6 +268,8 @@ def mm_funnel_verdicts(
     min_adj_pct: int = 50,
     boiler_max_pct: int = 50,
     media_kinds: tuple = MEDIA_KINDS,
+    hot_refs: DataFrame | None = None,
+    media_hot_max_pct: int = 50,
 ) -> DataFrame:
     """Per-document multimodal curation verdicts WITH REASONS — the
     reject-table form of :func:`mm_curation` that the resumable prep job
@@ -280,10 +282,16 @@ def mm_funnel_verdicts(
     doc-local, so given that one table this funnel is subset-safe: the
     job runs it per bucket wave and a crash re-does at most one wave.
 
+    ``hot_refs`` is the optional second piece of corpus-global state:
+    ``(media_ref)`` rows for media recurring across documents
+    (:func:`media_reuse_stats` with ``is_hot`` — the OBELICS logo/icon
+    signal). When provided, documents whose media is mostly corpus-
+    recurring (> ``media_hot_max_pct``) are rejected as ``hot_media``.
+
     Verdict precedence (first failing gate names the reason):
     ``no_media`` → ``not_interleaved`` (transition/media-run structure) →
     ``unanchored`` (nearest-text distance) → ``boilerplate`` (> boiler_max_pct
-    of text spans are corpus-recurring) → ``keep``.
+    of text spans are corpus-recurring) → ``hot_media`` → ``keep``.
 
     Returns ``(doc_id, verdict, boiler_pct)`` — one row per input doc.
     Plan shape: the stats fold is row-local; anchoring is one windowed
@@ -324,6 +332,28 @@ def mm_funnel_verdicts(
         .join(n_text, "doc_id", "left")
         .join(n_hot, "doc_id", "left")
     )
+    if hot_refs is not None:
+        n_hot_media = (
+            flat.filter(F.col("kind").isin(*media_kinds))
+            .select(
+                F.col("doc_id").cast("string").alias("doc_id"), "media_ref"
+            )
+            .join(hot_refs.select("media_ref"), "media_ref", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_hot_media"))
+        )
+        base = base.join(n_hot_media, "doc_id", "left")
+        hot_media_pct = F.when(
+            F.coalesce(F.col("n_media"), F.lit(0)) == 0, F.lit(0)
+        ).otherwise(
+            (
+                F.lit(100)
+                * F.coalesce(F.col("n_hot_media"), F.lit(0))
+                / F.col("n_media")
+            ).cast("int")
+        )
+    else:
+        hot_media_pct = F.lit(0)
     boiler_pct = F.when(
         F.coalesce(F.col("n_text"), F.lit(0)) == 0, F.lit(0)
     ).otherwise(
@@ -340,6 +370,7 @@ def mm_funnel_verdicts(
         .when(F.coalesce(F.col("adj_pct"), F.lit(0)) < min_adj_pct,
               F.lit("unanchored"))
         .when(boiler_pct > boiler_max_pct, F.lit("boilerplate"))
+        .when(hot_media_pct > media_hot_max_pct, F.lit("hot_media"))
         .otherwise(F.lit("keep"))
     )
     return base.select(
