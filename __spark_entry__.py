@@ -3966,6 +3966,22 @@ def q_span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_boilerplate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization half of the span boilerplate pass: the cleaned
+    flat span table with per-doc offsets rebased dense — what a curation
+    run writes back as the next corpus snapshot. Value-hash here pins
+    every surviving span payload byte-for-byte, complementing the stats
+    query's per-doc fingerprint."""
+    from text_extract_api_spark.functions.interleave import (
+        strip_boilerplate_apply,
+    )
+
+    flat = synth_flat_spans(spark, sf_dir)
+    return strip_boilerplate_apply(
+        flat.select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
 def q_media_reuse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-ref reuse stats over the interleaved corpus (the OBELICS
     hot-image prefilter): distinct-doc recurrence + raw occurrences +
@@ -4047,11 +4063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
       pack_sequences (all r3-green, code unchanged). After this round
       every registered query has had at least one driver-green row; the
-      r5 window should lead with the six ops added after this round's
+      r5 window should lead with the seven ops added after this round's
       window froze (interleave_stats, media_text_pairing, epoch_shuffle,
-      mm_corpus_prep, span_boilerplate_strip, media_reuse_stats — never
-      driver-checked), then any ops changed in r5, then the oldest-green
-      tail (tpch/events/flagship pipelines).
+      mm_corpus_prep, span_boilerplate_strip, media_reuse_stats,
+      span_boilerplate_apply — never driver-checked), then any ops
+      changed in r5, then the oldest-green tail (tpch/events/flagship
+      pipelines).
     """
     return {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
@@ -4197,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_corpus_prep": q_mm_corpus_prep,
         "span_boilerplate_strip": q_span_boilerplate_strip,
         "media_reuse_stats": q_media_reuse_stats,
+        "span_boilerplate_apply": q_span_boilerplate_apply,
     }
 
 
@@ -5041,6 +5059,31 @@ SELECT media_ref,
        COUNT(DISTINCT doc_id) >= 2 AS is_hot
 FROM spans WHERE kind IN ('pdf','image')
 GROUP BY media_ref
+""".strip(),
+        # Materialization half of the span strip: same keep semantics,
+        # surviving spans re-numbered dense per doc in sequence order.
+        "span_boilerplate_apply": f"""
+WITH {SYNTH_CTE},
+b AS (
+  SELECT doc_id, k, kind, text, media_ref,
+         (kind IN ('pdf','image')) AS is_media,
+         CASE WHEN kind NOT IN ('pdf','image') THEN md5(text) END AS fp
+  FROM spans
+),
+c AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+  FROM b WHERE fp IS NOT NULL GROUP BY fp
+),
+kept AS (
+  SELECT b.doc_id, b.k, b.kind, b.text, b.media_ref
+  FROM b LEFT JOIN c ON b.fp = c.fp
+  WHERE b.is_media OR c.n_docs < 2
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS INT)
+         AS "offset",
+       kind, text, media_ref
+FROM kept
 """.strip(),
         # Composition of the interleave_stats and media_text_pairing CTE
         # chains; gates in integer arithmetic ('//' floors = Spark's

@@ -83,6 +83,7 @@ HEADLINE = [
     "epoch_shuffle",
     "mm_corpus_prep",
     "span_boilerplate_strip",
+    "span_boilerplate_apply",
     "media_reuse_stats",
     "shard_assign",
     "corpus_prep_e2e",

@@ -58,6 +58,9 @@ EDGE_SENSITIVE = [
     # empty/whitespace-only docs collapse to identical '' chunks across
     # docs, exercising the everything-dropped + md5('') path corpus-wide
     "span_boilerplate_strip",
+    # its materialization half re-emits full payloads — the value hash
+    # pins every surviving edge-shaped span byte-for-byte
+    "span_boilerplate_apply",
 ]
 
 

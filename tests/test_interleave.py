@@ -157,6 +157,26 @@ def test_strip_boilerplate_spans_hand_cases(spark):
     assert got["d"] == dict(doc_id="d", n_spans=1, n_media=0, n_dropped=1,
                             clean_fp=fp(""))
 
+    # the materialization half on the same fixture: surviving spans only,
+    # offsets rebased dense per doc (doc a's kept spans at original
+    # offsets 1, 2 land at 0, 1); all-dropped doc d emits no rows
+    from text_extract_api_spark.functions.interleave import (
+        strip_boilerplate_apply,
+    )
+
+    applied = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in strip_boilerplate_apply(df).collect()
+    )
+    assert applied == [
+        ("a", 0, "image", "", "img://a/1"),
+        ("a", 1, "text", "uniq1", ""),
+        ("b", 0, "text", "uniq2", ""),
+        ("c", 0, "text", "CHANT", ""),
+        ("c", 1, "text", "CHANT", ""),
+        ("c", 2, "text", "CHANT", ""),
+    ]
+
 
 def test_media_reuse_stats_hand_cases(spark):
     from text_extract_api_spark.functions.interleave import media_reuse_stats

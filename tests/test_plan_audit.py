@@ -123,6 +123,10 @@ BOUNDS = {
     # the fp join re-exchange, and the groupBy(doc_id) reassembly — all
     # on 32-byte hash keys or doc ids, never span text
     "span_boilerplate_strip": (12, 0, 0, True),
+    # same 12-shuffle static shape as the stats half (shared flagging
+    # core); +1 window = the per-doc dense offset rebase (one counter per
+    # doc, never a buffer)
+    "span_boilerplate_apply": (12, 0, 1, True),
     # 6 STATIC: flat-synth scaffold (repart + dup-redirect join) + the
     # distinct-expansion agg's two levels; keys are media refs, never
     # payloads

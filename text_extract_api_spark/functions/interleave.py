@@ -140,6 +140,68 @@ def media_text_pairing(flat: DataFrame) -> DataFrame:
     )
 
 
+def _boiler_flagged(
+    flat: DataFrame, min_docs: int, media_kinds: tuple
+) -> tuple[DataFrame, "F.Column"]:
+    """Shared flagging core of the span boilerplate pass: the flat span
+    table annotated with (k, is_media, piece, fp, n_docs) plus the keep
+    predicate. See :func:`strip_boilerplate_spans` for the scale design
+    (hash-key-only exchanges, map-side distinct dedup)."""
+    is_media = F.col("kind").isin(*media_kinds)
+    base = flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("offset").alias("k"),
+        F.col("kind"),
+        F.col("text"),
+        F.col("media_ref"),
+        is_media.alias("is_media"),
+        F.when(
+            is_media, F.concat(F.lit("["), F.col("media_ref"), F.lit("]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("piece"),
+        F.when(~is_media, F.md5("text")).alias("fp"),
+    )
+    counts = (
+        base.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    keep = F.col("is_media") | (F.col("n_docs") < min_docs)
+    return base.join(counts, "fp", "left"), keep
+
+
+def strip_boilerplate_apply(
+    flat: DataFrame, min_docs: int = 2, media_kinds: tuple = MEDIA_KINDS
+) -> DataFrame:
+    """The MATERIALIZATION half of :func:`strip_boilerplate_spans`: the
+    cleaned flat span table itself — every surviving span with its
+    sequence offset REBASED to a dense 0..n-1 per document — i.e. the
+    table a curation run writes back to Iceberg as the next corpus
+    snapshot (the stats half only fingerprints it).
+
+    Same keep semantics as the stats pass (text spans recurring in
+    ``min_docs``+ distinct docs dropped, media spans always kept, NULL
+    payloads dropped), so ``strip_boilerplate_spans``'s clean_fp is
+    exactly the md5 of this table's pieces grouped per doc — the two
+    outputs cross-check each other.
+
+    Returns ``(doc_id, offset, kind, text, media_ref)`` — the input
+    contract's flat shape, directly re-nestable. Adds ONE window (dense
+    rank within doc) on top of the stats pass's exchanges; the window
+    partitions on doc_id, so state is one counter per document, never a
+    buffer. Documents whose every span was dropped simply emit no rows
+    here — the stats pass is the one that guarantees a row per doc.
+    """
+    flagged, keep = _boiler_flagged(flat, min_docs, media_kinds)
+    w = Window.partitionBy("doc_id").orderBy("k")
+    return (
+        flagged.filter(keep)
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("int"))
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
 def strip_boilerplate_spans(
     flat: DataFrame, min_docs: int = 2, media_kinds: tuple = MEDIA_KINDS
 ) -> DataFrame:
@@ -182,27 +244,9 @@ def strip_boilerplate_spans(
     inside the html strategy (extract/strategies/strategy.py); corpus-wide
     recurrence is the batch signal a single-doc service cannot see.
     """
-    is_media = F.col("kind").isin(*media_kinds)
-    base = flat.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("offset").alias("k"),
-        is_media.alias("is_media"),
-        F.when(
-            is_media, F.concat(F.lit("["), F.col("media_ref"), F.lit("]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("piece"),
-        F.when(~is_media, F.md5("text")).alias("fp"),
-    )
-    counts = (
-        base.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-    )
-    keep = F.col("is_media") | (F.col("n_docs") < min_docs)
+    flagged, keep = _boiler_flagged(flat, min_docs, media_kinds)
     return (
-        base.join(counts, "fp", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_spans"),
             F.sum(F.col("is_media").cast("int")).cast("bigint").alias("n_media"),
