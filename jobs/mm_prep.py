@@ -31,6 +31,11 @@ Stage layout and resume semantics (progress markers in ``out/progress``):
 4. **manifest** (global): keep docs → ``epoch_shuffle`` → the
    (doc_id, shard, pos) loader manifest partitioned by shard; zero RNG, so
    a resumed run regenerates the identical permutation.
+5. **snapshot** (global): the cleaned corpus itself — kept docs' spans
+   with cross-document boilerplate text spans removed and offsets rebased
+   (``strip_boilerplate_apply``), written partitioned by the manifest's
+   shard so each training shard reads one partition. This is the table
+   the next corpus epoch treats as its input.
 
 Exactly-once: every stage writes its output BEFORE its marker and every
 stage output is a deterministic overwrite, so a crash between write and
@@ -121,6 +126,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     verdicts_loc = f"{args.out}/verdicts"
     rejects_loc = f"{args.out}/rejects"
     manifest_loc = f"{args.out}/manifest"
+    snapshot_loc = f"{args.out}/snapshot"
     progress_loc = f"{args.out}/progress"
 
     # The interleaved corpus (Iceberg-scan stand-in). localCheckpoint both
@@ -241,6 +247,42 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     else:
         manifest_rows = read_table(spark, manifest_loc).count()
 
+    # ---- stage 5: cleaned corpus snapshot, shard-aligned ------------------
+    snapshot_rows = 0
+    if "snapshot" not in stages:
+        manifest_map = read_table(spark, manifest_loc).select("doc_id", "shard")
+        # reuse the persisted stage-1 state instead of recomputing the
+        # corpus-wide counts: a text span is dropped iff its fp is in the
+        # hotspans table — bit-identical to strip_boilerplate_apply's
+        # inline counts (the pytest cross-checks the two forms)
+        from pyspark.sql import Window
+
+        is_media = F.col("kind").isin(*MEDIA_KINDS)
+        flagged = flat.withColumn(
+            "fp", F.when(~is_media, F.md5("text"))
+        ).join(
+            hot_fps.select("fp", F.lit(True).alias("_hot")), "fp", "left"
+        )
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        cleaned = (
+            flagged.filter(is_media | (F.col("_hot").isNull() & F.col("fp").isNotNull()))
+            .withColumn("offset", (F.row_number().over(w) - 1).cast("int"))
+            .select("doc_id", "offset", "kind", "text", "media_ref")
+            .join(manifest_map, "doc_id")
+        )
+        write_table(
+            cleaned.repartition(args.n_shards, "shard"),
+            snapshot_loc, mode="overwrite", partition_by=["shard"],
+        )
+        _crash_if("snapshot")
+        snapshot_rows = read_table(spark, snapshot_loc).count()
+        write_stage_marker(
+            spark, progress_loc, args.run_id, args.run_ts, "snapshot",
+            metrics={"spans": snapshot_rows},
+        )
+    else:
+        snapshot_rows = read_table(spark, snapshot_loc).count()
+
     n_rejected = read_table(spark, rejects_loc).count()
     n_docs = docs_nested.count()
     wall = time.time() - t0
@@ -251,6 +293,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "kept": int(all_verdicts.filter(F.col("verdict") == "keep").count()),
         "rejected": int(n_rejected),
         "manifest_rows": int(manifest_rows),
+        "snapshot_spans": int(snapshot_rows),
         "sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
         "waves": args.waves,

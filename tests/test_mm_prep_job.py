@@ -75,6 +75,39 @@ def test_mm_prep_end_to_end_and_idempotent_resume(spark, tmp_path):
           "hot_media"}
     assert man.join(rej, man["doc_id"] == rej["doc_id"], "inner").count() == 0
 
+    # cleaned snapshot: exactly the operator form's output restricted to
+    # kept docs, shard-aligned with the manifest (the job's
+    # hotspans-reuse path must be bit-identical to the inline-counts
+    # operator)
+    from text_extract_api_spark.functions.interleave import (
+        strip_boilerplate_apply,
+    )
+    from text_extract_api_spark.synth import synth_flat_spans
+
+    snap = spark.read.parquet(f"{out}/snapshot")
+    assert snap.count() == s1["snapshot_spans"] > 0
+    got_snap = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in snap.collect()
+    )
+    flat = synth_flat_spans(spark, SF).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+    want_snap = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in strip_boilerplate_apply(flat)
+        .join(man.select("doc_id"), "doc_id")
+        .collect()
+    )
+    assert got_snap == want_snap
+    # shard alignment: every snapshot row carries its doc's manifest shard
+    mismatch = (
+        snap.select("doc_id", "shard").distinct()
+        .join(man.select("doc_id", F.col("shard").alias("mshard")), "doc_id")
+        .filter(F.col("shard") != F.col("mshard"))
+    )
+    assert mismatch.count() == 0
+
     # resume of a COMPLETE run: nothing recomputed, outputs unchanged
     before = _manifest_rows(spark, out)
     s2 = job.main(_argv(out, "m1") + ["--resume"], spark=spark)
@@ -96,7 +129,8 @@ def mm_ref_manifest(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "crash_point", ["hotspans", "verdicts_wave_1", "rejects", "manifest"]
+    "crash_point",
+    ["hotspans", "verdicts_wave_1", "rejects", "manifest", "snapshot"],
 )
 def test_mm_prep_crash_window_resume_is_exactly_once(
     spark, tmp_path, monkeypatch, crash_point, mm_ref_manifest
