@@ -4025,52 +4025,82 @@ def q_mm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver's 50-query correctness window rotates coverage
-    (VERDICT r3 #1: the driver checks exactly the FIRST 50 keys; 109 are
-    registered). Window layout this round:
-    - 1-11: the newest r4 wave-3/4 operators (ann_pq_topk, bigram_logppl,
-      decontaminate_fuzzy, quality_char_entropy, batch_by_length,
-      temperature_mix, tokenizer_fertility, snapshot_diff,
-      quality_percentile_gate, holdout_split, + streaming_sessionize at
-      48) — never driver-checked;
-    - 12-33: the earlier r4-NEW operators (dsir_select … tfidf_topk_terms)
-      — never driver-checked, must be in-window;
-    - 34-40: the entries the r3 window missed — above all the four
-      never-driver-checked r3 operators (events_asof_purchase,
-      quota_per_source, shard_assign, corpus_prep_e2e);
-    - 37-50: the FIVE brand-new final/late-wave ops (decontaminate_bloom,
-      anchor_text_agg, html_outlinks, html_to_markdown, link_pagerank),
-      the r4-changed minhash kernel, office_extract, the three wave-4 ops
-      added after the original layout froze (decontaminate_semantic,
-      sample_soft_quality, quota_tokens_per_source — never-checked NEW
-      code outranks r2-green unchanged entries), binary_ingest_sniff, and
-      the three r4 streaming driver rows (streaming_sessionize,
-      streaming_source_totals, streaming_dedup_distinct). Rotated out to
-      make room: image_unify, media_image_resize, events_sessionize (all
-      r2-green, code unchanged 2 rounds);
-    - 51+ (outside the window): every entry has a PRIOR driver-green row
-      (r2 and/or r3) or — for pipeline_extract_flat/office — is ALSO
-      smoke-checked via entry() every round; all are still verified every
-      round by tools/parity_check.py locally at sf0.01 (full-suite runs
-      green this round). Rotated out this round: the two flagship
-      pipelines (r3-green, entry-smoked), all tpch + events_hourly_rollup
-      + events_props_extract + base64_ingest + top_events_per_user +
-      media_audio_features (all r2/r3-green, unchanged; join/agg/top-k/
-      json shapes covered in-window by events_sessionize,
-      corpus_prep_e2e, json-deriving ops, binary_ingest_sniff; the media
-      family stays represented by image_unify/media_image_resize),
-      vocab_topk, length_quantiles, dedup_paragraphs, chunk_windows,
-      pack_sequences (all r3-green, code unchanged). After this round
-      every registered query has had at least one driver-green row; the
-      r5 window should lead with the seven ops added after this round's
-      window froze (interleave_stats, media_text_pairing, epoch_shuffle,
-      mm_corpus_prep, span_boilerplate_strip, media_reuse_stats,
-      span_boilerplate_apply — never driver-checked), then any ops
-      changed in r5, then the oldest-green tail (tpch/events/flagship
-      pipelines).
+def _last_green_rounds() -> dict[str, int]:
+    """Ledger of driver-green rounds, parsed from the committed
+    ``CORRECTNESS_r*.json`` files next to this module.
+
+    A key is "green in round N" when that round's file records
+    rows_match AND schema_match AND (hash_match true, or absent/None for
+    the weaker rows-only streaming checks). Returns the LATEST green
+    round per key; keys with no green row anywhere are omitted.
+
+    This mechanizes the correctness-window rotation (VERDICT r4 #1): the
+    driver checks only the first 50 ``queries()`` keys per round, so the
+    ordering must be derived from the ledger, not hand-sorted, or window
+    misses silently accumulate as the suite grows.
     """
-    return {
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+            )
+            if ok:
+                green[key] = max(green.get(key, 0), rnd)
+    return green
+
+
+# Operators whose IMPLEMENTATION changed this round: their prior green row
+# no longer certifies the current code, so they outrank stable-green
+# entries in the window (but stay behind never-checked registrations).
+# Update this list whenever an operator's semantics/plan change in-round.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "quality_classifier",      # DECIMAL(38) gradient promotion (r4 verdict #2)
+    "ccnet_ppl_buckets",       # approx-percentile scale mode (r4 verdict #3)
+    "quality_percentile_gate",  # approx-percentile scale mode (r4 verdict #3)
+    "media_image_metadata",    # real stdlib header parsers (r4 verdict #4)
+    "media_quarantine",        # quarantine now driven by real header validity
+    "neardup_clusters",        # single-action convergence check (r4 verdict #8)
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration dict reordered by the green-round ledger so the
+    driver's 50-query window always covers the entries that need it most:
+
+    1. never driver-green (new registrations), in registration order;
+    2. green before but implementation changed this round
+       (``_CHANGED_THIS_ROUND``), in registration order;
+    3. everything else, OLDEST green round first (ties by registration
+       order) — so long-stable entries re-enter the window round-robin
+       instead of silently aging out.
+
+    The base dict below is pure registration order (chronological); the
+    ledger sort is code, not hand-maintained comments. Entries outside
+    the window remain locally verified every round by
+    ``tools/parity_check.py`` at sf0.01.
+    """
+    base = {
         # --- r4-NEW operators (never driver-checked — must be in-window) ---
         "ann_pq_topk": q_ann_pq_topk,
         "bigram_logppl": q_bigram_logppl,
@@ -4216,6 +4246,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_reuse_stats": q_media_reuse_stats,
         "span_boilerplate_apply": q_span_boilerplate_apply,
     }
+    green = _last_green_rounds()
+    changed = set(_CHANGED_THIS_ROUND)
+
+    def sort_key(item: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = item
+        if name not in green:
+            return (0, 0, idx)
+        if name in changed:
+            return (1, 0, idx)
+        return (2, green[name], idx)
+
+    ordered = sorted(enumerate(base), key=sort_key)
+    return {name: base[name] for _, name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
