@@ -2852,8 +2852,9 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): per-
     language perplexity terciles over the corpus-trained unigram LM.
-    Threshold table is one row per language (broadcast); the percentile agg
-    swaps to percentile_approx at 100 TB (length_quantiles pattern)."""
+    Threshold table is one row per language (broadcast); at 100 TB pass
+    ``approx=True`` — the implemented percentile_approx sketch mode
+    (bounded-error pytest: test_ccnet_buckets_approx)."""
     from text_extract_api_spark.functions.quality import ccnet_buckets
 
     return ccnet_buckets(_docs(spark, sf_dir))
@@ -3901,8 +3902,9 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 25% of each language by the parity-proven composite quality.
     Threshold = exact interpolated percentile over a narrow (lang, quality)
     projection — language-cardinality-sized, broadcast back; keep is a
-    row-local compare. percentile_approx is the documented 100-TB swap
-    (length_quantiles pattern)."""
+    row-local compare. At 100 TB pass ``approx=True`` — the implemented
+    percentile_approx sketch mode (bounded-error pytest:
+    test_percentile_gate_approx)."""
     from text_extract_api_spark.functions.quality import quality_percentile_gate
 
     return quality_percentile_gate(_docs(spark, sf_dir))

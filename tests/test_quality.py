@@ -283,6 +283,104 @@ def test_length_quantiles_approx_bounded_error(spark):
         assert exact[lang]["n_docs"] == approx[lang]["n_docs"]
 
 
+def test_ccnet_buckets_approx_bounded_error(spark):
+    """The percentile_approx scale mode of ccnet_buckets (VERDICT r4 #3)
+    must put its terciles within the sketch's rank error of the exact
+    path at sf0.1: each approx threshold falls between the exact
+    quantiles at p ± slack, and the resulting bucketing disagrees on at
+    most the doc mass inside those slack bands."""
+    from pyspark.sql import functions as FF
+
+    from text_extract_api_spark.functions.quality import (
+        CCNET_BUCKET_P1,
+        CCNET_BUCKET_P2,
+        ccnet_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    exact = ccnet_buckets(docs).select("doc_id", "lang", "logppl", "ppl_bucket")
+    approx = ccnet_buckets(docs, approx=True, accuracy=10_000).select(
+        "doc_id", FF.col("ppl_bucket").alias("ppl_bucket_a")
+    )
+    both = exact.join(approx, "doc_id").localCheckpoint()
+    slack = 0.002  # rank slack >> 1/accuracy, << tercile spacing
+    bands = (
+        both.filter(FF.col("ppl_bucket") != "empty")
+        .groupBy("lang")
+        .agg(
+            *[
+                FF.percentile("logppl", q).alias(n)
+                for q, n in (
+                    (CCNET_BUCKET_P1 - slack, "t1_lo"),
+                    (CCNET_BUCKET_P1 + slack, "t1_hi"),
+                    (CCNET_BUCKET_P2 - slack, "t2_lo"),
+                    (CCNET_BUCKET_P2 + slack, "t2_hi"),
+                )
+            ]
+        )
+    )
+    # bucket disagreements only happen for docs whose logppl sits inside a
+    # slack band around a tercile; everything outside must agree exactly
+    disagree_outside = (
+        both.join(bands, "lang")
+        .filter(FF.col("ppl_bucket") != FF.col("ppl_bucket_a"))
+        .filter(
+            ~(
+                FF.col("logppl").between(FF.col("t1_lo"), FF.col("t1_hi"))
+                | FF.col("logppl").between(FF.col("t2_lo"), FF.col("t2_hi"))
+            )
+        )
+        .count()
+    )
+    assert disagree_outside == 0
+    # empty docs are mode-invariant, and the overall disagreement is tiny
+    n = both.count()
+    n_diff = both.filter(FF.col("ppl_bucket") != FF.col("ppl_bucket_a")).count()
+    assert n_diff <= max(10, int(0.02 * n)), (n_diff, n)
+    assert (
+        both.filter(
+            (FF.col("ppl_bucket") == "empty")
+            & (FF.col("ppl_bucket_a") != "empty")
+        ).count()
+        == 0
+    )
+
+
+def test_percentile_gate_approx_bounded_error(spark):
+    """quality_percentile_gate(approx=True) (VERDICT r4 #3): the sketch
+    threshold sits between the exact quantiles at (1-keep_frac) ± slack
+    per language, and keep verdicts flip only inside that band."""
+    from pyspark.sql import functions as FF
+
+    from text_extract_api_spark.functions.quality import (
+        QUALITY_GATE_KEEP_FRAC,
+        quality_percentile_gate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    exact = quality_percentile_gate(docs)
+    approx = quality_percentile_gate(docs, approx=True, accuracy=10_000).select(
+        "doc_id", FF.col("keep").alias("keep_a")
+    )
+    both = exact.join(approx, "doc_id").localCheckpoint()
+    p = 1.0 - QUALITY_GATE_KEEP_FRAC
+    slack = 0.002
+    bands = both.groupBy("lang").agg(
+        FF.percentile("quality", p - slack).alias("lo"),
+        FF.percentile("quality", p + slack).alias("hi"),
+    )
+    flipped_outside = (
+        both.join(bands, "lang")
+        .filter(FF.col("keep") != FF.col("keep_a"))
+        .filter(~FF.col("quality").between(FF.col("lo"), FF.col("hi")))
+        .count()
+    )
+    assert flipped_outside == 0
+    n = both.count()
+    n_flip = both.filter(FF.col("keep") != FF.col("keep_a")).count()
+    assert n_flip <= max(10, int(0.02 * n)), (n_flip, n)
+
+
 def test_paragraph_dedup_empty_and_null_paras_doc_survives(spark):
     # ADVICE r3: a doc with zero paragraphs (empty or NULL array) used to
     # vanish from the output — downstream anti-joins then treated it as

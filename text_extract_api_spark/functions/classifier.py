@@ -144,10 +144,12 @@ def train_quality_classifier(
         bias_u   += round(lr · Σ_i r_u_i / N)
     Zero-init weights; documents with no tokens score the bias alone and
     contribute only to the bias gradient (they stay in the spine).
-    Integer-width note: gradient accumulators stay within BIGINT up to
-    ~2^53/1e12 ≈ 9e3 · 1e6-token... concretely Σ_i r_u·x_u ≤ N · 1e12, so
-    N beyond ~9e6 documents needs the DECIMAL(38) promotion mix_weights
-    uses — a one-line cast at deploy scale.
+    Integer-width note: each per-row gradient term r_u·x_u is ≤ 1e12
+    (BIGINT-safe), but the SUM over the corpus is ≤ N·1e12 and would wrap
+    BIGINT silently past ~9×10⁶ documents — so the accumulators run in
+    DECIMAL(38,0) (exact, headroom to 10³⁸ ≫ 10²⁴ at 10¹²-doc scale; the
+    mix_weights promotion pattern). DuckDB needs no promotion: its
+    BIGINT SUM widens to HUGEINT natively, so the oracle is unchanged.
     """
     spark = docs.sparkSession
     spine, x = _feature_tf(docs, label_pred, id_col, text_col, n_buckets, salt)
@@ -203,17 +205,7 @@ def train_quality_classifier(
         # no negative buckets), so weight and bias updates arrive in a
         # single ≤ n_buckets+1-row job instead of two.
         r = resid(scored(weights, bias_u)).localCheckpoint()
-        contrib = (
-            x.join(r.hint("merge"), "doc_id")
-            .select("bucket", (F.col("r_u") * F.col("x_u")).alias("g"))
-            .unionByName(
-                r.select(
-                    F.lit(-1).cast("bigint").alias("bucket"),
-                    F.col("r_u").alias("g"),
-                )
-            )
-        )
-        grads = contrib.groupBy("bucket").agg(F.sum("g").alias("g_u")).collect()
+        grads = _gradient_sums(x, r).collect()
         for row in grads:
             b = int(row["bucket"])
             if b < 0:  # bias gradient: Σ r_u is already micro-scaled
@@ -241,6 +233,35 @@ def train_quality_classifier(
         F.round(p, 6).alias("prob"),
         (p >= F.lit(0.5)).alias("predicted"),
     )
+
+
+def _gradient_sums(x: DataFrame, r: DataFrame) -> DataFrame:
+    """One union-agg gradient job: (bucket, g_u) with bucket −1 carrying
+    the bias gradient Σ r_u and buckets ≥ 0 carrying Σ r_u·x_u.
+
+    Each per-row term fits BIGINT (|r_u·x_u| ≤ 1e12), but the corpus SUM
+    is ≤ N·1e12 — past ~9×10⁶ docs that exceeds 2^63, which non-ANSI
+    Spark wraps silently and ANSI Spark (4.x default) kills the job on —
+    so the residual is promoted to DECIMAL(38,0) BEFORE the multiply and
+    the sum runs in exact decimal: headroom through 10¹²+ documents
+    (≤ 10²⁴ ≪ 10³⁸). The exchange still carries ≤ n_buckets+1 rows after
+    map-side partial aggregation.
+    """
+    g_type = "decimal(38,0)"
+    contrib = (
+        x.join(r.hint("merge"), "doc_id")
+        .select(
+            "bucket",
+            (F.col("r_u").cast(g_type) * F.col("x_u")).cast(g_type).alias("g"),
+        )
+        .unionByName(
+            r.select(
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.col("r_u").cast(g_type).alias("g"),
+            )
+        )
+    )
+    return contrib.groupBy("bucket").agg(F.sum("g").alias("g_u"))
 
 
 def _round_half_up(x: float) -> float:

@@ -693,6 +693,8 @@ def ccnet_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet head/middle/tail quality bucketing (Wenzek et al., LREC 2020,
     §4.4): within each language, rank documents by LM perplexity and cut the
@@ -718,23 +720,33 @@ def ccnet_buckets(
     groupBy(lang) over a narrow (lang, logppl) projection for the
     thresholds. The threshold table has one row per language — bounded by
     language cardinality, not corpus size — so it broadcasts. Exact
-    percentiles need a language's logppl doubles co-resident (8 B × docs
-    per language); at 100 TB swap ``percentile_approx`` exactly as
-    ``length_quantiles(approx=True)`` does (same mergeable-sketch argument,
-    same bounded-error pytest pattern).
+    percentiles (``approx=False``, the oracle-checked default) need a
+    language's logppl doubles co-resident (8 B × docs per language) —
+    one high-resource language at 10⁹ docs OOMs that task, so
+    ``approx=True`` is the 100-TB mode: ``percentile_approx`` terciles
+    over a bounded mergeable sketch (rank error ~1/``accuracy``), the
+    identical swap ``length_quantiles(approx=True)`` ships. Approx
+    returns discrete observed values (no interpolation), so it carries
+    no epsilon and no SQL oracle; bounded-error parity vs the exact path
+    is pinned by ``tests/test_quality.py::test_ccnet_buckets_approx``.
     """
     ppl = unigram_logppl(docs, id_col=id_col, text_col=text_col)
     scored = ppl.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
         "doc_id",
     )
-    eps = F.lit(1e-9)
+    if approx:
+        pct = lambda p: F.percentile_approx("logppl", p, accuracy)  # noqa: E731
+        eps = F.lit(0)
+    else:
+        pct = lambda p: F.percentile("logppl", p)  # noqa: E731
+        eps = F.lit(1e-9)
     thresholds = (
         scored.filter(F.col("n_tokens") > 0)
         .groupBy("lang")
         .agg(
-            F.round(F.percentile("logppl", CCNET_BUCKET_P1) + eps, 6).alias("t1"),
-            F.round(F.percentile("logppl", CCNET_BUCKET_P2) + eps, 6).alias("t2"),
+            F.round(pct(CCNET_BUCKET_P1) + eps, 6).alias("t1"),
+            F.round(pct(CCNET_BUCKET_P2) + eps, 6).alias("t2"),
         )
     )
     bucket = (
@@ -757,6 +769,8 @@ def quality_percentile_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-language adaptive quality admission gate — the FineWeb-Edu /
     DCLM pattern of thresholding a quality score at a PERCENTILE rather
@@ -783,9 +797,15 @@ def quality_percentile_gate(
     result is language-cardinality-sized and broadcasts; the keep flag is
     a row-local compare after the broadcast join. No windows over corpus-
     sized partitions (a per-language row_number would funnel a whole
-    language through one task — rejected); exact percentiles need per-
-    language co-residency, so at 100 TB swap ``percentile_approx`` exactly
-    as ``length_quantiles(approx=True)`` does.
+    language through one task — rejected); exact percentiles
+    (``approx=False``, the oracle-checked default) need per-language
+    co-residency — a 10⁹-doc language OOMs that task, so ``approx=True``
+    is the 100-TB mode: ``percentile_approx`` over a bounded mergeable
+    sketch (rank error ~1/``accuracy``), the identical
+    ``length_quantiles(approx=True)`` swap. Approx returns discrete
+    observed values (no interpolation → no epsilon, no SQL oracle);
+    bounded-error parity vs exact is pinned by
+    ``tests/test_quality.py::test_percentile_gate_approx``.
     """
     from .textstats import quality_score_col
 
@@ -794,11 +814,15 @@ def quality_percentile_gate(
         F.col(lang_col).alias("lang"),
         quality_score_col(F.col(text_col)).alias("quality"),
     )
-    thresholds = scored.groupBy("lang").agg(
-        F.round(
+    if approx:
+        thresh_col = F.round(
+            F.percentile_approx("quality", 1.0 - keep_frac, accuracy), 6
+        )
+    else:
+        thresh_col = F.round(
             F.percentile("quality", 1.0 - keep_frac) + F.lit(1e-9), 6
-        ).alias("q_thresh")
-    )
+        )
+    thresholds = scored.groupBy("lang").agg(thresh_col.alias("q_thresh"))
     return scored.join(F.broadcast(thresholds), "lang", "left").select(
         "doc_id",
         "lang",
