@@ -175,6 +175,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "bucket", bucket_col(F.col("doc_id"), args.n_buckets)
     )
     todo = nested_b
+    done = None
     if args.resume:
         done = completed_buckets(spark, progress_loc, args.run_id)
         todo = nested_b.join(F.broadcast(done), "bucket", "left_anti")
@@ -182,7 +183,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     for wave in range(args.waves):
         in_wave = F.pmod(F.col("bucket"), F.lit(args.waves)) == wave
         wave_nested = todo.filter(in_wave)
-        if args.waves > 1 and wave_nested.isEmpty():
+        # Always skip empty waves (ADVICE r4: the old ``waves > 1`` gate
+        # let a completed --waves 1 resume re-enter its wave, appending
+        # duplicate per-bucket 'done' markers and reporting the full
+        # verdict count as recomputed).
+        if wave_nested.isEmpty():
             continue
         wave_flat = flat.join(
             wave_nested.select("doc_id"), "doc_id", "left_semi"
@@ -202,6 +207,30 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "doc_id", "verdict", "boiler_pct", "bucket",
             F.lit(args.run_id).alias("run_id"), F.lit(wave).alias("wave"),
         )
+        if done is not None:
+            # The dynamic overwrite replaces this wave's WHOLE (run_id,
+            # wave) partition, but a resumed run recomputes only the
+            # not-yet-marked buckets — so carry forward the rows of
+            # already-marked buckets or they'd vanish from the partition.
+            # (ADVICE r4: previously safe only because write_bucket_marks
+            # appends a wave's marks as one all-or-nothing file; this
+            # removes that atomicity dependency.) localCheckpoint
+            # materializes the carried rows so the overwrite never reads
+            # the path it is replacing.
+            try:
+                prev = (
+                    read_table(spark, verdicts_loc)
+                    .filter(
+                        (F.col("run_id") == args.run_id)
+                        & (F.col("wave") == wave)
+                    )
+                    .join(F.broadcast(done), "bucket", "left_semi")
+                    .select(*out.columns)
+                    .localCheckpoint(eager=True)
+                )
+                out = out.unionByName(prev)
+            except Exception:
+                pass  # no prior verdict table yet — nothing to carry
         write_table(
             out, verdicts_loc, mode="overwrite", partition_by=["run_id", "wave"]
         )
@@ -209,6 +238,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         written = read_table(spark, verdicts_loc).filter(
             (F.col("run_id") == args.run_id) & (F.col("wave") == wave)
         )
+        if done is not None:
+            # marks (and the recomputed count) cover only the buckets this
+            # run actually computed — carried-forward rows keep their
+            # original markers (exactly-once markers per bucket)
+            written = written.join(F.broadcast(done), "bucket", "left_anti")
         write_bucket_marks(written, progress_loc, args.run_id, args.run_ts)
         verdicts_done += written.count()
 

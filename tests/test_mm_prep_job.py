@@ -116,6 +116,94 @@ def test_mm_prep_end_to_end_and_idempotent_resume(spark, tmp_path):
     assert _manifest_rows(spark, out) == before
 
 
+def test_mm_prep_waves1_complete_resume_is_noop(spark, tmp_path):
+    """ADVICE r4: with --waves 1 the empty-wave skip was gated on
+    waves > 1, so resuming a COMPLETED single-wave run re-entered the
+    wave — duplicate per-bucket markers and a full verdicts_written
+    count. A completed resume must be a true no-op at every wave count."""
+    job = _job()
+    out = str(tmp_path / "mmprep1")
+    argv = [
+        "--sf-dir", SF, "--out", out, "--run-id", "w1",
+        "--waves", "1", "--n-buckets", str(N_BUCKETS),
+    ]
+    s1 = job.main(argv, spark=spark)
+    assert s1["docs_in"] == 500
+    before = _manifest_rows(spark, out)
+    s2 = job.main(argv + ["--resume"], spark=spark)
+    spark.catalog.clearCache()
+    assert s2["verdicts_written"] == 0
+    assert _manifest_rows(spark, out) == before
+    # exactly-once markers survived the resume
+    prog = spark.read.parquet(f"{out}/progress")
+    marks = prog.filter((F.col("run_id") == "w1") & (F.col("status") == "done"))
+    per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in marks.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(per_bucket) == set(range(N_BUCKETS))
+    assert all(c == 1 for c in per_bucket.values()), per_bucket
+    # and no verdict rows were duplicated
+    verd = spark.read.parquet(f"{out}/verdicts").filter(F.col("run_id") == "w1")
+    assert verd.count() == 500
+    assert verd.select("doc_id").distinct().count() == 500
+
+
+def test_mm_prep_partial_bucket_marks_resume_keeps_marked_rows(
+    spark, tmp_path
+):
+    """ADVICE r4: resume used to rely on a wave's bucket marks being
+    all-or-nothing (single appended file) — with PARTIAL marks for a wave,
+    the recomputed wave's dynamic partition overwrite dropped the marked
+    buckets' verdict rows. Simulate partial marks by deleting half the
+    done markers after a complete run, then resume: every doc must still
+    have exactly one verdict row."""
+    import glob as _glob
+
+    job = _job()
+    out = str(tmp_path / "mmprep_partial")
+    argv = [
+        "--sf-dir", SF, "--out", out, "--run-id", "p1",
+        "--waves", "2", "--n-buckets", str(N_BUCKETS),
+    ]
+    job.main(argv, spark=spark)
+    spark.catalog.clearCache()
+
+    # rewrite progress with only HALF of wave 0's bucket marks (simulates
+    # a mark write that persisted partially before a crash)
+    prog = spark.read.parquet(f"{out}/progress")
+    wave0_buckets = [b for b in range(N_BUCKETS) if b % 2 == 0]
+    kept_marks = prog.filter(
+        ~(
+            (F.col("run_id") == "p1")
+            & (F.col("status") == "done")
+            & F.col("bucket").isin(wave0_buckets[len(wave0_buckets) // 2:])
+        )
+    ).localCheckpoint(eager=True)
+    for f in _glob.glob(f"{out}/progress/*.parquet"):
+        os.remove(f)
+    kept_marks.write.mode("overwrite").parquet(f"{out}/progress")
+    spark.catalog.clearCache()
+
+    job.main(argv + ["--resume"], spark=spark)
+    spark.catalog.clearCache()
+
+    verd = spark.read.parquet(f"{out}/verdicts").filter(F.col("run_id") == "p1")
+    assert verd.count() == 500, "marked buckets' rows were dropped"
+    assert verd.select("doc_id").distinct().count() == 500
+    # every bucket ends marked done at least once, none more than twice
+    # (the re-run re-marks only the recomputed buckets exactly once)
+    marks = spark.read.parquet(f"{out}/progress").filter(
+        (F.col("run_id") == "p1") & (F.col("status") == "done")
+    )
+    per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in marks.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(per_bucket) == set(range(N_BUCKETS))
+    assert all(c == 1 for c in per_bucket.values()), per_bucket
+
+
 @pytest.fixture(scope="module")
 def mm_ref_manifest(spark, tmp_path_factory):
     """The uninterrupted run's manifest — computed once, compared against

@@ -120,8 +120,9 @@ BOUNDS = {
     # replays under the distinct-count subtree AND the base side of the
     # fp join (identical exchanges → AQE reuse, the media_phash lesson);
     # the operator's own exchanges are count_distinct's two agg levels,
-    # the fp join re-exchange, and the groupBy(doc_id) reassembly — all
-    # on 32-byte hash keys or doc ids, never span text
+    # the fp join re-exchange (32-byte hash keys), and the groupBy(doc_id)
+    # reassembly — whose partial-agg buffers carry each kept piece once
+    # (doc-id keys, payload bounded by doc size; see the fn docstring)
     "span_boilerplate_strip": (12, 0, 0, True),
     # same 12-shuffle static shape as the stats half (shared flagging
     # core); +1 window = the per-doc dense offset rebase (one counter per

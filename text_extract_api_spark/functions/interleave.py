@@ -230,7 +230,9 @@ def strip_boilerplate_spans(
     (counted in n_spans, never in clean_fp) — same discipline as
     paragraph_dedup's NULL-element rule.
 
-    Scale design — three bounded exchanges, none carrying span text:
+    Scale design — three bounded exchanges; the counting legs carry only
+    hash keys, and the one payload-bearing exchange ships each kept piece
+    exactly once:
     1. distinct-doc counts group on ``md5(text)`` (32-byte key, never the
        payload — oversized spans shuffle as hashes); Catalyst's distinct
        expansion gives map-side (fp, doc_id) dedup, so a span repeated
@@ -239,7 +241,13 @@ def strip_boilerplate_spans(
        AQE broadcasts it when the distinct-span population is small).
     3. groupBy(doc_id) reassembly; the drop decision rides the SAME
        aggregation as the fingerprint (conditional collect_list —
-       collect_list skips NULLs), so no fourth shuffle.
+       collect_list skips NULLs), so no fourth shuffle. This exchange's
+       partial-aggregation buffers DO carry the kept pieces' text (the
+       fingerprint needs the bytes co-resident per doc) — keys are doc
+       ids, payload crosses once, bounded by document size. Pre-hashing
+       pieces before the regroup would shed that payload but change the
+       fingerprint definition; the per-doc payload bound is the accepted
+       cost.
     Reference provenance: the reference strips boilerplate per-document
     inside the html strategy (extract/strategies/strategy.py); corpus-wide
     recurrence is the batch signal a single-doc service cannot see.
