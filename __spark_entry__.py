@@ -875,8 +875,145 @@ meta AS (
   FROM pages
 )
 SELECT media_ref, page_no, byte_len, h AS payload_md5,
-       {w} AS width, {hgt} AS height, {mode} AS mode
+       {w} AS width, {hgt} AS height, {mode} AS mode,
+       'stub' AS fmt, CAST(8 AS INT) AS bit_depth
 FROM meta
+""".strip()
+
+
+def _image_header_meta_sql() -> str:
+    """DuckDB re-derivation of the stdlib image-header parsers: the same
+    fixture bytes (hex literals), parsed with pure hex-string arithmetic —
+    big/little-endian field extraction at the spec offsets, a recursive
+    CTE walking JPEG markers to the first SOFn. Independent of the Python
+    implementation except for sharing the fixture constants."""
+    from text_extract_api_spark.extractors.media import header_fixtures
+
+    fx = [(n, b.hex()) for n, b in header_fixtures() if n != "png_bad_crc"]
+    values = ",\n    ".join(f"('{n}', '{h}')" for n, h in fx)
+
+    def hxb(o: str) -> str:
+        # value of the byte at 0-based offset ``o`` (SQL expression) of hx
+        pair = f"substring(hx, 2*({o})+1, 2)"
+        return (
+            f"((strpos('0123456789abcdef', substring({pair}, 1, 1)) - 1) * 16"
+            f" + strpos('0123456789abcdef', substring({pair}, 2, 1)) - 1)"
+        )
+
+    def be(o, n: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"({hxb(f'({o})+{i}')}) * {256 ** (n - 1 - i)}" for i in range(n)
+            )
+            + ")"
+        )
+
+    def le(o, n: int) -> str:
+        return (
+            "("
+            + " + ".join(f"({hxb(f'({o})+{i}')}) * {256 ** i}" for i in range(n))
+            + ")"
+        )
+
+    def le_i32(o) -> str:
+        v = le(o, 4)
+        return f"(CASE WHEN {v} >= 2147483648 THEN {v} - 4294967296 ELSE {v} END)"
+
+    sof = "(192, 193, 194, 195, 197, 198, 199, 201, 202, 203, 205, 206, 207)"
+    m2 = hxb("pos+1")
+    standalone = f"({m2} = 216 OR {m2} = 1 OR ({m2} BETWEEN 208 AND 215))"
+    is_end = f"({m2} IN (217, 218))"
+    is_sof = f"({m2} IN {sof})"
+    seglen = be("pos+2", 2)
+    sof_ok = f"({is_sof} AND {seglen} >= 8 AND pos + 10 <= nb)"
+    bmp_hdr = f"{le(14, 4)} IN (40, 52, 56, 108, 124)"
+    stub_md5 = "md5(try_cast(from_hex(hx) AS VARCHAR))"
+
+    return f"""
+WITH RECURSIVE fx(name, hx) AS (VALUES
+    {values}
+),
+b AS (SELECT name, hx, CAST(length(hx) // 2 AS BIGINT) AS nb FROM fx),
+png AS (
+  SELECT name, 'png' AS fmt,
+         CAST({be(16, 4)} AS INT) AS width, CAST({be(20, 4)} AS INT) AS height,
+         CAST({hxb('24')} AS INT) AS bit_depth,
+         CASE {hxb('25')} WHEN 0 THEN 'L' WHEN 2 THEN 'RGB' WHEN 3 THEN 'P'
+                          WHEN 4 THEN 'LA' WHEN 6 THEN 'RGBA' END AS mode
+  FROM b
+  WHERE substring(hx, 1, 16) = '89504e470d0a1a0a' AND nb >= 33
+    AND {be(8, 4)} = 13 AND substring(hx, 25, 8) = '49484452'
+),
+gif AS (
+  SELECT name, 'gif' AS fmt,
+         CAST({le(6, 2)} AS INT) AS width, CAST({le(8, 2)} AS INT) AS height,
+         CAST((({hxb('10')} // 16) % 8) + 1 AS INT) AS bit_depth, 'P' AS mode
+  FROM b
+  WHERE substring(hx, 1, 12) IN ('474946383761', '474946383961') AND nb >= 13
+),
+bmp0 AS (
+  SELECT name, {le_i32(18)} AS w, {le_i32(22)} AS h, {le(28, 2)} AS bits
+  FROM b
+  WHERE substring(hx, 1, 4) = '424d' AND nb >= 30 AND {bmp_hdr}
+),
+bmp AS (
+  SELECT name, 'bmp' AS fmt, CAST(w AS INT) AS width, CAST(abs(h) AS INT) AS height,
+         CAST(bits AS INT) AS bit_depth,
+         CASE WHEN bits >= 16 THEN 'RGB' ELSE 'P' END AS mode
+  FROM bmp0 WHERE w > 0 AND h <> 0 AND bits IN (1, 4, 8, 16, 24, 32)
+),
+jwalk(name, hx, nb, pos, prec, hgt, wid, ncomp, done) AS (
+  SELECT name, hx, nb, CAST(2 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+         CAST(NULL AS INT), CAST(NULL AS INT), FALSE
+  FROM b WHERE substring(hx, 1, 6) = 'ffd8ff'
+  UNION ALL
+  SELECT name, hx, nb,
+         CASE WHEN {standalone} THEN pos + 2 ELSE pos + 2 + {seglen} END,
+         CAST(CASE WHEN {sof_ok} THEN {hxb('pos+4')} END AS INT),
+         CAST(CASE WHEN {sof_ok} THEN {be('pos+5', 2)} END AS INT),
+         CAST(CASE WHEN {sof_ok} THEN {be('pos+7', 2)} END AS INT),
+         CAST(CASE WHEN {sof_ok} THEN {hxb('pos+9')} END AS INT),
+         ({is_sof} OR {is_end}) AS done
+  FROM jwalk
+  WHERE NOT done AND pos + 4 <= nb AND {hxb('pos')} = 255
+        AND ({standalone} OR {is_end} OR {seglen} >= 2)
+),
+jpeg AS (
+  SELECT name, 'jpeg' AS fmt, wid AS width, hgt AS height, prec AS bit_depth,
+         CASE ncomp WHEN 1 THEN 'L' WHEN 3 THEN 'RGB' WHEN 4 THEN 'CMYK' END AS mode
+  FROM jwalk WHERE done AND wid IS NOT NULL
+),
+parsed AS (
+  SELECT * FROM png WHERE width > 0 AND height > 0 AND mode IS NOT NULL
+  UNION ALL SELECT * FROM gif WHERE width > 0 AND height > 0
+  UNION ALL SELECT * FROM bmp
+  UNION ALL SELECT * FROM jpeg WHERE width > 0 AND height > 0 AND mode IS NOT NULL
+),
+magic AS (
+  SELECT name,
+         (substring(hx, 1, 16) = '89504e470d0a1a0a'
+          OR substring(hx, 1, 12) IN ('474946383761', '474946383961')
+          OR substring(hx, 1, 6) = 'ffd8ff'
+          OR (substring(hx, 1, 4) = '424d' AND nb >= 18 AND {bmp_hdr})
+         ) AS has_magic
+  FROM b
+)
+SELECT b.name AS media_ref,
+       COALESCE(p.fmt, 'none') AS fmt,
+       CAST(COALESCE(p.width, 0) AS INT) AS width,
+       CAST(COALESCE(p.height, 0) AS INT) AS height,
+       CAST(COALESCE(p.bit_depth, 0) AS INT) AS bit_depth,
+       COALESCE(p.mode, '') AS mode,
+       CASE WHEN b.nb = 0 THEN FALSE
+            WHEN m.has_magic THEN p.name IS NOT NULL
+            ELSE substring({stub_md5}, 1, 1) <> 'f' END AS valid,
+       CASE WHEN b.nb = 0 THEN 'empty_payload'
+            WHEN m.has_magic AND p.name IS NULL THEN 'decode_error'
+            WHEN NOT m.has_magic AND substring({stub_md5}, 1, 1) = 'f'
+              THEN 'decode_error'
+            ELSE '' END AS reason
+FROM b JOIN magic m USING (name) LEFT JOIN parsed p USING (name)
 """.strip()
 
 
@@ -2923,6 +3060,46 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.filter(~F.col("valid")).select("media_ref", "page_no", "reason")
 
 
+def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata + quarantine semantics for real files (VERDICT
+    r4 #4): pure-stdlib header parsing — PNG IHDR with CRC32 verify, GIF
+    logical screen descriptor, BMP BITMAPINFOHEADER, JPEG SOFn marker
+    scan — no PIL (reference behavior: image.py:43-48). Runs the actual
+    distributed operators (``image_metadata``/``validate_images``, Arrow
+    ``mapInPandas``) over the deterministic fixture corpus; the DuckDB
+    oracle independently re-derives every field from embedded hex
+    literals (big/little-endian hex arithmetic, a recursive CTE for the
+    JPEG marker walk). The CRC-corrupt fixture is pytest-only (no CRC32
+    in SQL); stub-fallback dimensions are masked to zeros so the oracle
+    checks parse semantics, not the md5 stub."""
+    from text_extract_api_spark.extractors.media import (
+        header_fixtures,
+        image_metadata,
+        validate_images,
+    )
+
+    rows = [(n, b, 0) for n, b in header_fixtures() if n != "png_bad_crc"]
+    df = spark.createDataFrame(
+        rows, "media_ref string, payload binary, page_no int"
+    )
+    meta = image_metadata(df)
+    val = validate_images(df)
+    stub = F.col("fmt") == "stub"
+    return meta.join(val, ["media_ref", "page_no"]).select(
+        "media_ref",
+        F.when(stub, F.lit("none")).otherwise(F.col("fmt")).alias("fmt"),
+        F.when(stub, F.lit(0)).otherwise(F.col("width")).cast("int").alias("width"),
+        F.when(stub, F.lit(0)).otherwise(F.col("height")).cast("int").alias("height"),
+        F.when(stub, F.lit(0))
+        .otherwise(F.col("bit_depth"))
+        .cast("int")
+        .alias("bit_depth"),
+        F.when(stub, F.lit("")).otherwise(F.col("mode")).alias("mode"),
+        "valid",
+        "reason",
+    )
+
+
 def q_image_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: image→PDF converter (converters/image_to_pdf.py:12-27), stub-
     backed with a value-level oracle on the emitted bytes."""
@@ -4247,6 +4424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boilerplate_strip": q_span_boilerplate_strip,
         "media_reuse_stats": q_media_reuse_stats,
         "span_boilerplate_apply": q_span_boilerplate_apply,
+        # --- r5 registrations ----------------------------------------------
+        "image_header_meta": q_image_header_meta,
     }
     green = _last_green_rounds()
     changed = set(_CHANGED_THIS_ROUND)
@@ -4850,6 +5029,7 @@ FROM documents
         "ann_ivf_topk": _ann_ivf_sql(),
         "dedup_embedding_cosine": _emb_neardup_sql(),
         "media_image_metadata": _media_meta_sql(),
+        "image_header_meta": _image_header_meta_sql(),
         "media_frame_sample": _media_frames_sql(),
         "media_quarantine": _media_quarantine_sql(),
         "image_to_pdf": _image_to_pdf_sql(),

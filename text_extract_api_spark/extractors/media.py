@@ -21,6 +21,8 @@ bounded-memory concern the reference handles with Celery's
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,16 +30,18 @@ from pyspark.sql import DataFrame
 
 IMAGE_META_SCHEMA = (
     "media_ref string, page_no int, byte_len long, payload_md5 string, "
-    "width int, height int, mode string"
+    "width int, height int, mode string, fmt string, bit_depth int"
 )
 
 
 def decode_image(payload: bytes) -> tuple[int, int, str]:
-    """STUB: real impl would be PIL ``Image.open(BytesIO(payload))``
-    (reference: image.py:43-48 verify / image.py:52-71 unify). This
-    deterministic fake derives (width, height, mode) from hex digits of
-    md5(payload) so tests and the DuckDB oracle exercise the full
-    distributed path on values, not just schema.
+    """STUB for payloads that are NOT one of the four stdlib-parseable
+    formats (see :func:`parse_image_header`): real impl would be PIL
+    ``Image.open(BytesIO(payload))`` (reference: image.py:43-48 verify /
+    image.py:52-71 unify). This deterministic fake derives
+    (width, height, mode) from hex digits of md5(payload) so tests and
+    the DuckDB oracle exercise the full distributed path on values, not
+    just schema.
     """
     h = hashlib.md5(payload or b"").hexdigest()
     return (
@@ -47,14 +51,203 @@ def decode_image(payload: bytes) -> tuple[int, int, str]:
     )
 
 
+# --------------------------------------------------------------------------
+# Real header parsing — pure stdlib (struct + zlib), no PIL (VERDICT r4 #4).
+# The reference verifies/decodes with PIL (files/file_formats/image.py:43-48);
+# PIL is absent from this container, but the four dominant web-image formats
+# expose dimensions/bit-depth in fixed-layout headers a few bytes in, so the
+# metadata and quarantine semantics are REAL for real files — only pixel
+# decoding stays stubbed.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+# every JPEG SOFn marker that carries frame dimensions (C4/C8/CC are
+# DHT/JPG/DAC — not frames)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+_BMP_HDR_SIZES = frozenset((40, 52, 56, 108, 124))  # BITMAPINFOHEADER family
+_BMP_BITS = frozenset((1, 4, 8, 16, 24, 32))
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int, str] | None:
+    """(fmt, width, height, bit_depth, mode) from the file header alone, or
+    None when the payload is not a well-formed PNG/GIF/BMP/JPEG header.
+
+    - PNG: 8-byte signature, then the IHDR chunk (must be first per the
+      spec): big-endian width/height, bit depth, color type — and the
+      chunk CRC32 is verified with ``zlib.crc32`` (a bit-rotted header
+      fails here exactly as PIL's verify() would).
+    - GIF: GIF87a/GIF89a signature + little-endian logical-screen size;
+      bit depth = color-resolution bits + 1; palette mode.
+    - BMP: 'BM' + a recognized BITMAPINFOHEADER-family size at offset 14;
+      signed little-endian dims (negative height = top-down rows → abs).
+    - JPEG: marker scan from SOI to the first SOFn frame header
+      (big-endian height/width, sample precision, component count).
+    """
+    p = payload or b""
+    if p[:8] == PNG_SIG and len(p) >= 33:
+        length, ctype = struct.unpack(">I4s", p[8:16])
+        if ctype == b"IHDR" and length == 13:
+            (crc,) = struct.unpack(">I", p[29:33])
+            if zlib.crc32(p[12:29]) & 0xFFFFFFFF == crc:
+                w, h, depth, color = struct.unpack(">IIBB", p[16:26])
+                mode = _PNG_MODES.get(color)
+                if mode and w > 0 and h > 0:
+                    return ("png", w, h, depth, mode)
+        return None
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        if len(p) >= 13:
+            w, h, packed = struct.unpack("<HHB", p[6:11])
+            if w > 0 and h > 0:
+                return ("gif", w, h, ((packed >> 4) & 0x7) + 1, "P")
+        return None
+    if p[:2] == b"BM" and len(p) >= 30:
+        (hdr_size,) = struct.unpack("<I", p[14:18])
+        if hdr_size in _BMP_HDR_SIZES:
+            w, h = struct.unpack("<ii", p[18:26])
+            (bits,) = struct.unpack("<H", p[28:30])
+            if w > 0 and h != 0 and bits in _BMP_BITS:
+                return ("bmp", w, abs(h), bits, "RGB" if bits >= 16 else "P")
+            return None
+        # 'BM' is two ASCII bytes — without a recognized header size this
+        # is not credibly a bitmap; fall through to "not an image"
+        return None
+    if p[:3] == b"\xff\xd8\xff":
+        i = 2
+        n = len(p)
+        while i + 4 <= n and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+                break
+            (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+            if seglen < 2:
+                break
+            if marker in _JPEG_SOF:
+                if seglen >= 8 and i + 10 <= n:
+                    prec, h, w, ncomp = struct.unpack(">BHHB", p[i + 4 : i + 10])
+                    mode = _JPEG_MODES.get(ncomp)
+                    if mode and w > 0 and h > 0:
+                        return ("jpeg", w, h, prec, mode)
+                return None
+            i += 2 + seglen
+        return None
+    return None
+
+
+def make_png(
+    w: int, h: int, depth: int = 8, color: int = 2, corrupt_crc: bool = False
+) -> bytes:
+    """Minimal structurally valid PNG header (signature + IHDR with a real
+    CRC32 + stub body) — fixture builder for the header-parse oracle."""
+    data = b"IHDR" + struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    crc = zlib.crc32(data) & 0xFFFFFFFF
+    if corrupt_crc:
+        crc ^= 1
+    return PNG_SIG + struct.pack(">I", 13) + data + struct.pack(">I", crc) + b"\x00" * 8
+
+
+def make_gif(w: int, h: int, color_res_bits: int = 7, version: bytes = b"89a") -> bytes:
+    """Minimal GIF header: signature + logical screen descriptor + trailer."""
+    packed = (color_res_bits & 0x7) << 4
+    return b"GIF" + version + struct.pack("<HHB", w, h, packed) + b"\x00\x00;"
+
+
+def make_bmp(w: int, h: int, bits: int = 24) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (40), no pixels."""
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, w, h, 1, bits)
+        + struct.pack("<IIiiII", 0, 0, 0, 0, 0, 0)
+    )
+
+
+def make_jpeg(w: int, h: int, ncomp: int = 3, sof: int = 0xC0, precision: int = 8) -> bytes:
+    """Minimal JPEG: SOI + APP0/JFIF + SOFn frame header + EOI — enough
+    for the marker scan to find real dimensions."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    comps = b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    sof_seg = bytes((0xFF, sof)) + struct.pack(">H", 8 + 3 * ncomp) + struct.pack(
+        ">BHHB", precision, h, w, ncomp
+    ) + comps
+    return b"\xff\xd8" + app0 + sof_seg + b"\xff\xd9"
+
+
+def header_fixtures() -> list[tuple[str, bytes]]:
+    """Deterministic (name, payload) fixtures exercising every branch of
+    :func:`parse_image_header` — valid headers for all four formats plus
+    the corruption classes a crawler actually sees. Pure functions of
+    constants (no RNG, no files), so the DuckDB oracle can re-derive the
+    same verdicts from embedded hex literals."""
+    return [
+        ("png_rgb_640x480", make_png(640, 480, 8, 2)),
+        ("png_rgba16_31x17", make_png(31, 17, 16, 6)),
+        ("png_gray_1x1", make_png(1, 1, 1, 0)),
+        ("png_zero_width", make_png(0, 7, 8, 2)),
+        ("png_bad_colortype", make_png(9, 9, 8, 5)),
+        ("png_bad_crc", make_png(640, 480, 8, 2, corrupt_crc=True)),
+        ("png_truncated", PNG_SIG + b"\x00\x00"),
+        ("gif89_320x200", make_gif(320, 200, 7)),
+        ("gif87_1x1_depth1", make_gif(1, 1, 0, version=b"87a")),
+        ("gif_zero_height", make_gif(320, 0, 7)),
+        ("gif_truncated", b"GIF89a\x40"),
+        ("bmp24_800x600", make_bmp(800, 600, 24)),
+        ("bmp8_13x7_topdown", make_bmp(13, -7, 8)),
+        ("bmp_bad_bits", make_bmp(10, 10, 13)),
+        ("jpeg_base_1024x768", make_jpeg(1024, 768, 3, sof=0xC0)),
+        ("jpeg_prog_gray_50x60", make_jpeg(50, 60, 1, sof=0xC2)),
+        ("jpeg_cmyk_12bit", make_jpeg(300, 200, 4, sof=0xC1, precision=12)),
+        ("jpeg_no_sof", b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + b"\xff\xd9"),
+        ("jpeg_truncated", b"\xff\xd8\xff"),
+        ("not_an_image", b"plain text payload, no magic"),
+        ("empty", b""),
+    ]
+
+
+def has_image_magic(payload: bytes) -> bool:
+    """True when the payload credibly claims one of the four parseable
+    formats — the gate that routes verification to the real parser
+    instead of the deterministic stub. 'BM' alone is two ASCII bytes, so
+    BMP additionally requires a recognized header-size field (a text
+    document starting with \"BM\" must not be judged a broken bitmap)."""
+    p = payload or b""
+    if p[:8] == PNG_SIG or p[:6] in (b"GIF87a", b"GIF89a") or p[:3] == b"\xff\xd8\xff":
+        return True
+    return (
+        p[:2] == b"BM"
+        and len(p) >= 18
+        and struct.unpack("<I", p[14:18])[0] in _BMP_HDR_SIZES
+    )
+
+
 def image_metadata(df: DataFrame) -> DataFrame:
     """(media_ref, page_no, payload:binary) → typed image metadata, batched
-    via Arrow. One output row per input row."""
+    via Arrow. One output row per input row.
+
+    Real PNG/GIF/BMP/JPEG headers yield REAL (width, height, bit_depth,
+    mode, fmt) via :func:`parse_image_header`; anything else falls back to
+    the deterministic md5 stub with fmt='stub', bit_depth=8 (the synthetic
+    corpus takes this path — its payloads are UTF-8 text, so the DuckDB
+    oracle stays exact; the real path is oracle-checked by the
+    ``image_header_meta`` fixture query and pytest)."""
+
+    def meta(b: bytes) -> tuple[int, int, str, str, int]:
+        parsed = parse_image_header(b)
+        if parsed is not None:
+            fmt, w, h, depth, mode = parsed
+            return (w, h, mode, fmt, depth)
+        w, h, mode = decode_image(b)
+        return (w, h, mode, "stub", 8)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
-            dims = payloads.map(decode_image)
+            dims = payloads.map(meta)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -64,6 +257,8 @@ def image_metadata(df: DataFrame) -> DataFrame:
                     "width": dims.map(lambda d: d[0]).astype("int32"),
                     "height": dims.map(lambda d: d[1]).astype("int32"),
                     "mode": dims.map(lambda d: d[2]),
+                    "fmt": dims.map(lambda d: d[3]),
+                    "bit_depth": dims.map(lambda d: d[4]).astype("int32"),
                 }
             )
 
@@ -84,10 +279,21 @@ CORRUPT_MD5_PREFIX = "f"
 
 
 def verify_image(payload: bytes) -> tuple[bool, str]:
-    """STUB for PIL ``verify()``: (valid, reason). reason ∈
-    {'', 'empty_payload', 'decode_error'}."""
+    """PIL ``verify()`` semantics: (valid, reason), reason ∈
+    {'', 'empty_payload', 'decode_error'}.
+
+    Payloads carrying a real image magic (:func:`has_image_magic`) get the
+    REAL verdict: header must fully parse — PNG IHDR CRC intact, non-zero
+    dimensions, recognized color/bit fields (the stdlib subset of what
+    PIL's verify() raises on, image.py:43-48). Everything else keeps the
+    deterministic md5 stub so the synthetic corpus still produces corrupt
+    rows at any scale for the quarantine-path oracles."""
     if not payload:
         return False, "empty_payload"
+    if has_image_magic(payload):
+        if parse_image_header(payload) is None:
+            return False, "decode_error"
+        return True, ""
     if hashlib.md5(payload).hexdigest().startswith(CORRUPT_MD5_PREFIX):
         return False, "decode_error"
     return True, ""
