@@ -85,9 +85,21 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     office_blobs = typed.filter(kind.isin(*OFFICE_KINDS)).select(
         F.col("path").alias("media_ref"), F.col("content").alias("payload")
     )
+    # REAL page store for the pdf leg: text recovered from the content
+    # streams by the stdlib parser (classic-xref, raw/FlateDecode — the
+    # born-digital majority; scanned PDFs yield no pages here and would
+    # route to OCR in a full deployment). Same (media_ref, page_no,
+    # page_text) contract the pipeline's page join expects.
+    from text_extract_api_spark.extractors.pdf import pdf_text_extract
+
+    media_pages = pdf_text_extract(
+        typed.filter(kind == "pdf").select(
+            F.col("path").alias("media_ref"), F.col("content").alias("payload")
+        )
+    )
 
     results, _ = run_extract_pipeline(
-        spark, docs, media_pages=None, cache=None,
+        spark, docs, media_pages=media_pages, cache=None,
         run_id=args.run_id, office_blobs=office_blobs,
     )
     results.write.mode("overwrite").parquet(f"{args.out}/results")
