@@ -3042,6 +3042,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_stored(spark, store, query_vec, k=ANN_K, n_probe=IVF_PROBES)
 
 
+def q_ann_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store MAINTENANCE path (VERDICT r4 #7): build the store on 80%
+    of the corpus (vec_id % 5 != 3), append the held-out 20% as an
+    incremental batch against the FROZEN codebook, compact the accreted
+    cell files, then probe. The oracle assigns the full corpus against
+    the same codebook in one shot — append+compact must be
+    indistinguishable from having built that way (codebook = vec_id %
+    IVF_STRIDE == 0, which is disjoint from the held-out residue class,
+    so both engines train on identical centroids)."""
+    from text_extract_api_spark.functions.similarity import (
+        append_ivf_store,
+        build_ivf_store,
+        compact_ivf_store,
+        ivf_topk_stored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    store, ok_marker = _store_path(
+        "spark_graft_ivf_append", sf_dir, str(IVF_STRIDE)
+    )
+
+    def build(d: str) -> None:
+        build_ivf_store(base, d, centroid_stride=IVF_STRIDE)
+        append_ivf_store(spark, batch, d)
+        compact_ivf_store(spark, d)
+
+    _ensure_store(build, store, ok_marker)
+    return ivf_topk_stored(spark, store, query_vec, k=ANN_K, n_probe=IVF_PROBES)
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, media = synthesize_interleaved(spark, sf_dir)
     return media
@@ -4472,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5 registrations ----------------------------------------------
         "image_header_meta": q_image_header_meta,
         "pdf_text_extract": q_pdf_text_extract,
+        "ann_ivf_append_topk": q_ann_ivf_append_topk,
     }
     green = _last_green_rounds()
     changed = set(_CHANGED_THIS_ROUND)
@@ -5073,6 +5109,10 @@ FROM documents
         "tfidf_topk_terms": _tfidf_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        # append+compact against the frozen codebook must equal a one-shot
+        # full assignment under that codebook — the SAME oracle (the
+        # centroid residue class is disjoint from the held-out batch)
+        "ann_ivf_append_topk": _ann_ivf_sql(),
         "dedup_embedding_cosine": _emb_neardup_sql(),
         "media_image_metadata": _media_meta_sql(),
         "image_header_meta": _image_header_meta_sql(),

@@ -394,6 +394,78 @@ def test_ivf_stored_matches_live(spark, tmp_path):
     assert "PartitionFilters: [cent_id" in plan
 
 
+def test_ivf_append_compact_matches_full_build_and_drift_flags(spark, tmp_path):
+    """VERDICT r4 #7: (build on A) + append(B) + compact must probe
+    identically to a one-shot assignment of A∪B under A's codebook; the
+    drift check stays quiet for same-distribution batches and flags a
+    shifted batch for retrain."""
+    import hashlib
+
+    from text_extract_api_spark.functions.similarity import (
+        append_ivf_store,
+        build_ivf_store,
+        compact_ivf_store,
+        ivf_drift_check,
+        ivf_topk_stored,
+    )
+
+    def detvec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [(b - 127.5) / 128.0 for b in h]
+
+    all_rows = [(i, [float(x) for x in detvec(i)]) for i in range(80)]
+    emb = spark.createDataFrame(all_rows, "vec_id long, embedding array<float>")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+
+    # reference: full one-shot build with the SAME codebook (stride 10 →
+    # centroid ids ≡ 0 mod 10, disjoint from the batch residue class 3)
+    ref_store = str(tmp_path / "ivf_ref")
+    build_ivf_store(emb, ref_store, centroid_stride=10)
+    # incremental: build on base, append the batch, compact
+    inc_store = str(tmp_path / "ivf_inc")
+    build_ivf_store(base, inc_store, centroid_stride=10)
+    # centroids must be identical before comparing probes
+    assert sorted(
+        r["cent_id"] for r in spark.read.parquet(f"{inc_store}/centroids").collect()
+    ) == sorted(
+        r["cent_id"] for r in spark.read.parquet(f"{ref_store}/centroids").collect()
+    )
+    append_ivf_store(spark, batch, inc_store)
+    compact_ivf_store(spark, inc_store)
+
+    q = [float(x) for x in detvec(0)]
+    got = [tuple(r) for r in ivf_topk_stored(spark, inc_store, q, k=7, n_probe=2).collect()]
+    want = [tuple(r) for r in ivf_topk_stored(spark, ref_store, q, k=7, n_probe=2).collect()]
+    assert got == want
+    # appended rows all present exactly once after compaction
+    assert spark.read.parquet(f"{inc_store}/assigned").count() == 80
+    # compaction really folded the layout: ≤1 data file per cell
+    import glob as _glob
+    import os as _os
+
+    for cell_dir in _glob.glob(f"{inc_store}/assigned/cent_id=*"):
+        files = [f for f in _os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert len(files) <= 1, cell_dir
+
+    # drift: a batch from the same generator is quiet…
+    same = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in detvec(i)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    quiet = ivf_drift_check(spark, inc_store, same)
+    assert quiet["needs_retrain"] is False
+    # …a collapsed batch (every vector identical → one cell) is flagged
+    one = [float(x) for x in detvec(7)]
+    shifted = spark.createDataFrame(
+        [(2000 + i, one) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    flagged = ivf_drift_check(spark, inc_store, shifted)
+    assert flagged["needs_retrain"] is True
+    assert flagged["kl_sym"] > quiet["kl_sym"]
+
+
 def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
     """Hash-threshold sampling: identical output across reruns/partitionings,
     per-stratum rates near the configured fractions, decisions row-stable."""
