@@ -98,6 +98,9 @@ HEADLINE = [
     "ann_batch_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_append_topk",
+    "pdf_text_extract",
+    "image_header_meta",
     "html_to_markdown",
     "html_outlinks",
     "decontaminate_bloom",
