@@ -44,6 +44,37 @@ from text_extract_api_spark.session import get_spark  # noqa: E402
 from text_extract_api_spark.synth import synthesize_interleaved_office  # noqa: E402
 
 
+TARGET_PARTITION_MB = 64  # per-task shuffle budget (matches AQE advisory)
+
+
+def _autoscale_shuffle_partitions(spark) -> None:
+    """Size ``spark.sql.shuffle.partitions`` from the MEASURED corpus size.
+
+    The ×256 scale-up probe (r5) caught the failure mode this prevents: a
+    fixed 32-partition layout pushes corpus/32 bytes through every
+    reassembly task — ~400 MB/task at 12.8 GB of spans — and 32 such
+    concurrent object-agg buffers blow the heap long before the plan is
+    wrong. Partition count must grow with data so per-task bytes stay
+    constant (the spill-aware sizing rule); AQE coalesces back down when
+    partitions come out small, so oversizing costs nothing.
+
+    Uses the cached-corpus storage size (free to read after the persist) —
+    an Iceberg deployment gets the same number from table statistics. An
+    explicit ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` pins the count instead
+    (the scaling bench holds it fixed across parallelism levels — there it
+    is a controlled variable, not a knob)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached = sum(i.memSize() + i.diskSize() for i in infos)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = min(2048, max(cur, int(cached / (TARGET_PARTITION_MB * 1024 * 1024)) + 1))
+    if need > cur:
+        spark.conf.set("spark.sql.shuffle.partitions", str(need))
+
+
 def main(argv: list[str] | None = None, spark=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -102,6 +133,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         # recompute the synthesis joins.
         docs = docs.persist()
         docs.count()
+        _autoscale_shuffle_partitions(spark)
 
     results_loc = f"{args.out}/results"
     cache_loc = f"{args.out}/cache"
