@@ -3157,13 +3157,20 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("media_ref"),
         "text",
         (F.col("doc_id") % 2 == 0).alias("compress"),
+        # a third of the corpus uses the MODERN layout (PDF 1.5 xref
+        # stream + ObjStm-packed page tree) — both generations of the
+        # format flow through the same driver-checked path
+        (F.col("doc_id") % 3 == 0).alias("modern"),
     )
 
     def build(batches):
         for pdf in batches:
             refs, payloads = [], []
-            for ref, text, comp in zip(
-                pdf["media_ref"].values, pdf["text"].values, pdf["compress"].values
+            for ref, text, comp, modern in zip(
+                pdf["media_ref"].values,
+                pdf["text"].values,
+                pdf["compress"].values,
+                pdf["modern"].values,
             ):
                 t = text or ""
                 if not t:
@@ -3173,7 +3180,9 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(t), PDF_PAGE_CHARS)
                 ]
                 refs.append(ref)
-                payloads.append(make_pdf(pages, compress=bool(comp)))
+                payloads.append(
+                    make_pdf(pages, compress=bool(comp), objstm=bool(modern))
+                )
             yield pd.DataFrame({"media_ref": refs, "payload": payloads})
 
     built = docs.mapInPandas(build, "media_ref string, payload binary")

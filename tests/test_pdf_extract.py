@@ -99,6 +99,50 @@ def test_non_text_string_operands_are_not_emitted():
     assert extract_pdf_text(pdf) == ["shownalso shown"]
 
 
+@pytest.mark.parametrize("compress", [True, False])
+def test_modern_objstm_layout_roundtrip(compress):
+    """PDF 1.5+ layout: catalog/pages/page dicts live inside a FlateDecode
+    /Type /ObjStm, /Root comes from the XRef stream dict, no classic
+    trailer — the dominant born-digital shape must round-trip too."""
+    pages = ["Modern page one.", "Parens (still (fine))", "x" * 900]
+    pdf = make_pdf(pages, compress=compress, objstm=True)
+    assert b"/ObjStm" in pdf and b"trailer" not in pdf
+    assert extract_pdf_text(pdf) == pages
+
+
+def test_corrupt_objstm_degrades_to_empty_not_crash():
+    pdf = bytearray(make_pdf(["page one", "page two"], objstm=True))
+    at = bytes(pdf).find(b"/ObjStm")
+    start = bytes(pdf).find(b"stream\n", at) + len(b"stream\n")
+    pdf[start : start + 4] = b"\x00\x00\x00\x00"  # break the deflate bytes
+    got = extract_pdf_text(bytes(pdf))
+    # page dicts are unrecoverable -> no pages; never an exception
+    assert got == []
+
+
+def test_objstm_does_not_shadow_direct_objects():
+    # an ObjStm entry whose object number collides with a DIRECT object
+    # must not replace it (setdefault semantics): malformed shadowing
+    # can't swap a content stream for a packed dict
+    from text_extract_api_spark.extractors.pdf import _parse_objects
+
+    payload = zlib.compress(b"1 5 " + b"     " + b"<< /Shadow true >> ")
+    objstm = (
+        b"2 0 obj\n<< /Type /ObjStm /N 1 /First 5 /Length "
+        + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Length 2 >>\nstream\nhi\nendstream\nendobj\n"
+        + objstm
+    )
+    objs = _parse_objects(pdf)
+    assert b"stream" in objs[1] and b"/Shadow" not in objs[1]
+
+
 def test_never_raises_on_garbage():
     for junk in (
         b"",

@@ -6,13 +6,15 @@ neither poppler nor an OCR model ships in this container. But the large
 majority of born-digital PDFs carry their text in content streams that a
 few hundred lines of stdlib parsing recover exactly, which is how a
 100-TB curation pipeline actually handles the PDF slice (OCR is reserved
-for scanned documents). Scope (VERDICT r4 #5): classic xref PDFs whose
-content streams are uncompressed or FlateDecode; text via the
-``Tj`` / ``'`` / ``"`` / ``TJ`` operators with full literal-string escape
-handling and hex strings. Out of scope (returns empty pages, never
-raises): encrypted PDFs, xref streams with ObjStm-packed page objects,
-exotic filters (DCT/JBIG2 image-only pages have no text to lose), CID
-fonts with multi-byte encodings.
+for scanned documents). Scope (VERDICT r4 #5): classic-xref AND modern
+(PDF 1.5+ cross-reference-stream) layouts — /Type /ObjStm compressed
+object streams holding the catalog/page-tree dicts are unpacked, so the
+dominant born-digital layout parses, not just the legacy one; content
+streams uncompressed or FlateDecode; text via the ``Tj`` / ``'`` / ``"``
+/ ``TJ`` operators with full literal-string escape handling and hex
+strings. Out of scope (returns empty pages, never raises): encrypted
+PDFs, exotic filters (DCT/JBIG2 image-only pages have no text to lose),
+CID fonts with multi-byte encodings.
 
 The sibling fixture writer :func:`make_pdf` emits the same subset —
 page tree, per-page FlateDecode or raw content streams, escaped literal
@@ -43,11 +45,18 @@ def _esc_literal(s: str) -> bytes:
     return bytes(out)
 
 
-def make_pdf(pages: list[str], compress: bool = True) -> bytes:
-    """Minimal classic-xref PDF: catalog → pages tree → one content stream
-    per page. Even pages emit their text as a kerned two-element ``TJ``
-    array, odd pages as a single ``Tj`` — both operator forms round-trip.
-    ``compress=True`` FlateDecodes every content stream."""
+def make_pdf(pages: list[str], compress: bool = True, objstm: bool = False) -> bytes:
+    """Minimal PDF: catalog → pages tree → one content stream per page.
+    Even pages emit their text as a kerned two-element ``TJ`` array, odd
+    pages as a single ``Tj`` — both operator forms round-trip.
+    ``compress=True`` FlateDecodes every content stream. ``objstm=True``
+    emits the MODERN (PDF 1.5+) layout instead of the classic one: the
+    catalog / pages-tree / page dicts packed into a FlateDecode
+    /Type /ObjStm object stream, with a cross-reference STREAM trailer
+    (/Root in the XRef dict) and no classic ``trailer`` dict — the layout
+    the majority of born-digital PDFs actually use."""
+    if objstm:
+        return _make_pdf_objstm(pages, compress)
     objs: list[bytes] = []  # 1-based object bodies, index i → obj i+1
 
     def add(body: bytes) -> int:
@@ -111,6 +120,90 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def _content_stream_obj(text: str, page_idx: int, compress: bool) -> bytes:
+    if page_idx % 2 == 0 and len(text) > 1:
+        mid = len(text) // 2
+        seg = (
+            b"[" + b"(" + _esc_literal(text[:mid]) + b") -20 ("
+            + _esc_literal(text[mid:]) + b")] TJ"
+        )
+    else:
+        seg = b"(" + _esc_literal(text) + b") Tj"
+    stream = b"BT /F1 12 Tf 72 720 Td " + seg + b" ET"
+    if compress:
+        data = zlib.compress(stream)
+        head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+    else:
+        data = stream
+        head = b"<< /Length %d >>" % len(data)
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
+def _make_pdf_objstm(pages: list[str], compress: bool) -> bytes:
+    """Modern layout: content streams as direct objects 1..P; objects
+    P+1..P+3+P (font, pages tree, catalog, page dicts) packed inside one
+    FlateDecode /Type /ObjStm; an /Type /XRef stream object carries
+    /Root; ``startxref`` + %%EOF, no classic trailer."""
+    n_pages = len(pages)
+    content_ids = list(range(1, n_pages + 1))
+    font_id = n_pages + 1
+    pages_id = n_pages + 2
+    catalog_id = n_pages + 3
+    page_ids = list(range(n_pages + 4, n_pages + 4 + n_pages))
+    objstm_id = n_pages + 4 + n_pages
+    xref_id = objstm_id + 1
+
+    packed: list[tuple[int, bytes]] = [
+        (font_id, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (
+            pages_id,
+            b"<< /Type /Pages /Kids ["
+            + b" ".join(b"%d 0 R" % p for p in page_ids)
+            + b"] /Count %d >>" % n_pages,
+        ),
+        (catalog_id, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id),
+    ] + [
+        (
+            pid,
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_id, font_id, cid),
+        )
+        for pid, cid in zip(page_ids, content_ids)
+    ]
+    offsets: list[bytes] = []
+    bodies = bytearray()
+    for objnum, body in packed:
+        offsets.append(b"%d %d" % (objnum, len(bodies)))
+        bodies += body + b" "
+    header = b" ".join(offsets) + b" "
+    stm_payload = zlib.compress(header + bytes(bodies))
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(header), len(stm_payload))
+        + stm_payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    for cid, text in zip(content_ids, pages):
+        out += b"%d 0 obj\n" % cid + _content_stream_obj(text, cid - 1, compress) + b"\nendobj\n"
+    out += b"%d 0 obj\n" % objstm_id + objstm_body + b"\nendobj\n"
+    # xref STREAM (fields deliberately minimal: the engine's extractor
+    # locates objects by scanning, as does every robust-repair parser;
+    # /Root here is the only load-bearing key)
+    xref_data = zlib.compress(b"\x00" * (xref_id + 1))
+    xref_at = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 2 1] "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_id, xref_id + 1, catalog_id, len(xref_data))
+        + xref_data
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------- read
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
@@ -123,8 +216,48 @@ _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
 
 
+_OBJSTM_HDR_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+
+
 def _parse_objects(p: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(p)}
+    """Object number → body bytes. Two passes: the classic ``N 0 obj``
+    scan, then expansion of every /Type /ObjStm compressed object stream
+    (PDF 1.5+ packs the catalog / page-tree dicts there — the modern
+    default layout). ObjStm layout per 32000-1 §7.5.7: /N pairs of
+    ``objnum offset`` then the objects themselves starting at /First.
+    Only non-stream objects may live in an ObjStm, so content streams are
+    always found by the classic pass — this second pass recovers exactly
+    the page-tree half. Direct objects win on number collision (a
+    malformed file shadowing a direct object must not swap bodies)."""
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(p)}
+    for body in list(objs.values()):
+        if not _OBJSTM_HDR_RE.search(body):
+            continue
+        n_m, first_m, sm = _N_RE.search(body), _FIRST_RE.search(body), _STREAM_RE.search(body)
+        if not (n_m and first_m and sm):
+            continue
+        data = sm.group(1)
+        if re.search(rb"/Filter\s*/FlateDecode\b", body):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+        except ValueError:
+            continue
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            objs.setdefault(objnum, data[first + off : first + end])
+    return objs
 
 
 def _page_order(objs: dict[int, bytes], p: bytes) -> list[int]:
