@@ -143,6 +143,13 @@ BOUNDS = {
     # the funnel's own exchanges are the pairing groupBy(doc_id) and the
     # doc_id equi-join
     "mm_corpus_prep": (10, 0, 1, True),
+    # 1 = input-split repartition; 2 arrow = PDF build + extract stages
+    # (both row-local — pages of a doc never cross an exchange)
+    "pdf_text_extract": (1, 2, 0, False),
+    # 21-row fixture frame: 2 arrow = metadata + validity parsers, 2
+    # shuffles + 1 join = the meta⋈verdict SMJ on (media_ref, page_no) —
+    # constant-size by construction
+    "image_header_meta": (2, 2, 0, False),
     "events_sessionize": (1, 0, 2, False),
     "events_hourly_rollup": (1, 0, 0, False),
     "tpch_q1_pricing_summary": (1, 0, 0, True),
