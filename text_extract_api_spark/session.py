@@ -82,4 +82,50 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local[") and master != "local":
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to executors as a py-files zip.
+
+    Plain ``local[N]`` runs Python workers in the driver's environment, so
+    the checkout on ``sys.path`` suffices — but any master with SEPARATE
+    executor JVMs (``local-cluster``, standalone, YARN, k8s) spawns
+    workers that cannot see it, and every Arrow stage dies with
+    ``ModuleNotFoundError`` (r5: caught by the first real
+    ``local-cluster[2,4,…]`` smoke run). Explicit ``spark-submit
+    --py-files dist/text_extract_api_spark.zip`` (tools/package_pyfiles.py)
+    remains the deployment path; this makes the jobs correct by default
+    on any master. Skips when a py-files copy of the package is already
+    shipped (idempotent under getOrCreate reuse)."""
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.basename(pkg_root)
+    includes = getattr(spark.sparkContext, "_python_includes", None) or []
+    if any(pkg in inc for inc in includes):
+        return
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_pyfiles_"), f"{pkg}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fn in sorted(filenames):
+                if fn.endswith((".py", ".yaml")):
+                    full = os.path.join(dirpath, fn)
+                    arc = os.path.join(
+                        pkg, os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, arc)
+        # conf/ travels too (the registry loads conf/strategies.yaml
+        # relative to the package's parent when present)
+        conf = os.path.join(os.path.dirname(pkg_root), "conf")
+        if os.path.isdir(conf):
+            for fn in sorted(os.listdir(conf)):
+                if fn.endswith(".yaml"):
+                    zf.write(os.path.join(conf, fn), os.path.join("conf", fn))
+    spark.sparkContext.addPyFile(zip_path)
