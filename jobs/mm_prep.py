@@ -107,6 +107,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     # not silently change the epoch permutation (and the crash-resume test
     # compares manifests across run ids)
     ap.add_argument("--epoch-seed", default="epoch0")
+    ap.add_argument("--multiplier", type=int, default=1,
+                    help="deterministic corpus scale-up for scaling benches")
+    ap.add_argument("--inflate", type=int, default=1,
+                    help="deterministic per-document size scale-up (bench)")
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -132,9 +136,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     # The interleaved corpus (Iceberg-scan stand-in). localCheckpoint both
     # shapes once: four stages consume them and the synthesis subtree
     # would otherwise replay per stage.
-    docs_nested, _ = synthesize_interleaved(spark, args.sf_dir)
+    docs_nested, _ = synthesize_interleaved(
+        spark, args.sf_dir, args.multiplier, args.inflate
+    )
     docs_nested = docs_nested.localCheckpoint()
-    flat = synth_flat_spans(spark, args.sf_dir).select(
+    flat = synth_flat_spans(
+        spark, args.sf_dir, args.multiplier, args.inflate
+    ).select(
         "doc_id", "offset", "kind", "text", "media_ref"
     ).localCheckpoint()
 
