@@ -3905,13 +3905,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_pq_sql() -> str:
+def _ann_pq_sql(train_pred: str = "") -> str:
     """PQ-ADC oracle: PQ_M per-subspace Lloyd chains unrolled as CTE layers
     (the _kmeans_cte_sql pattern over vector SLICES), each ending in an
     encode CTE (argmin centroid per vector, round-9 distances, ties to the
     lowest cid) and a query-slice ADC table quantized to BIGINT micro-units
     — the final per-vector distance is an exact integer sum of PQ_M
-    lookups, identical to the engine's literal-array form."""
+    lookups, identical to the engine's literal-array form.
+
+    ``train_pred`` restricts the Lloyd TRAINING set (seeds + iterations)
+    to a subset while encoding/serving still covers every vector — the
+    oracle form of the append-maintenance path (codebooks frozen on the
+    base corpus, batch encoded against them)."""
     from text_extract_api_spark.functions.similarity import (
         PQ_ITERS,
         PQ_K,
@@ -3926,16 +3931,24 @@ def _ann_pq_sql() -> str:
     parts = []
     for j in range(PQ_M):
         lo, hi = j * dsub + 1, (j + 1) * dsub
+        tsrc = f"t{j}" if train_pred else f"e{j}"
         parts.append(
             f"""e{j} AS (
   SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-),
+)"""
+            + (
+                f""",
+t{j} AS (SELECT * FROM e{j} WHERE {train_pred})"""
+                if train_pred
+                else ""
+            )
+            + f""",
 c{j}_0 AS (
   SELECT CAST(row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid,
          list_transform(v, x -> round(x, 6)) AS cv
-  FROM e{j} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+  FROM {tsrc} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
 )"""
         )
         prev = f"c{j}_0"
@@ -3945,12 +3958,12 @@ c{j}_0 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
-    FROM e{j} e CROSS JOIN {prev} c
+    FROM {tsrc} e CROSS JOIN {prev} c
   ) WHERE rn = 1
 ),
 u{j}_{it} AS (
   SELECT a.cid, t.i AS pos, round(avg(e.v[t.i]), 6) AS m
-  FROM a{j}_{it} a JOIN e{j} e USING (vec_id) CROSS JOIN range(1, {dsub + 1}) t(i)
+  FROM a{j}_{it} a JOIN {tsrc} e USING (vec_id) CROSS JOIN range(1, {dsub + 1}) t(i)
   GROUP BY a.cid, t.i
 ),
 c{j}_{it} AS (
@@ -4015,6 +4028,65 @@ JOIN cand ON cand.vec_id = e.vec_id,
 ORDER BY dist_u ASC, e.vec_id ASC
 LIMIT {ANN_K}"""
     )
+
+
+def q_ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ store MAINTENANCE (VERDICT r4 #7, the IVF-append pattern):
+    train the per-subspace codebooks on 80% of the corpus (vec_id % 5 !=
+    3), encode-and-append the held-out 20% against the FROZEN codebooks,
+    probe with the standard ADC + refine. The oracle runs the same Lloyd
+    chains restricted to the training subset while encoding everything —
+    append must be indistinguishable from a one-shot encode under the
+    base-corpus codebooks."""
+    from text_extract_api_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_RERANK,
+        append_pq_store,
+        build_pq_store,
+        pq_topk_stored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None:
+        return spark.createDataFrame([], "vec_id bigint, dist_u bigint")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    store, ok = _store_path("pqann_append", sf_dir, f"pq{PQ_M}x{PQ_K}")
+
+    def build(tmp: str) -> None:
+        build_pq_store(base, tmp, dim=EMB_DIMS)
+        append_pq_store(spark, batch, tmp)
+
+    _ensure_store(build, store, ok)
+    return pq_topk_stored(
+        spark, store, query_vec, k=ANN_K, rerank=PQ_RERANK, emb=emb
+    )
+
+
+def q_ann_quantized_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 store MAINTENANCE: quantization carries no trained state, so
+    build-80% + append-20% must be EXACTLY the full build — the oracle is
+    the unmodified one-shot SQL."""
+    from text_extract_api_spark.functions.similarity import (
+        append_quantized_store,
+        build_quantized_store,
+        quantized_topk_stored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    query_vec = _query_vec(spark, sf_dir, emb)
+    if query_vec is None or not any(float(x) != 0.0 for x in query_vec):
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    store, ok = _store_path("qann_append", sf_dir, "sq8")
+
+    def build(tmp: str) -> None:
+        build_quantized_store(emb.filter(F.col("vec_id") % 5 != 3), tmp)
+        append_quantized_store(spark, emb.filter(F.col("vec_id") % 5 == 3), tmp)
+
+    _ensure_store(build, store, ok)
+    return quantized_topk_stored(spark, store, query_vec, k=ANN_K)
 
 
 def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4517,6 +4589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_meta": q_image_header_meta,
         "pdf_text_extract": q_pdf_text_extract,
         "ann_ivf_append_topk": q_ann_ivf_append_topk,
+        "ann_pq_append_topk": q_ann_pq_append_topk,
+        "ann_quantized_append_topk": q_ann_quantized_append_topk,
     }
     green = _last_green_rounds()
     changed = set(_CHANGED_THIS_ROUND)
@@ -4792,6 +4866,9 @@ WHERE d.source <> 'src1'
 
     return {
         "ann_pq_topk": _ann_pq_sql(),
+        # frozen-codebook append: Lloyd training restricted to the base
+        # corpus, encoding over everything — matches build(80%)+append(20%)
+        "ann_pq_append_topk": _ann_pq_sql(train_pred="vec_id % 5 <> 3"),
         "bigram_logppl": bigram_logppl_sql(),
         "decontaminate_fuzzy": decon_fuzzy_sql,
         "decontaminate_semantic": _decon_semantic_sql(),
@@ -5112,6 +5189,8 @@ FROM documents
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_batch_topk": _ann_batch_sql(),
         "ann_quantized_topk": _ann_quantized_sql(),
+        # per-vector op: append is exactly the one-shot build
+        "ann_quantized_append_topk": _ann_quantized_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_exact_normalized": _dedup_exact_normalized_sql(),

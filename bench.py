@@ -99,6 +99,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_append_topk",
+    "ann_pq_append_topk",
+    "ann_quantized_append_topk",
     "pdf_text_extract",
     "image_header_meta",
     "html_to_markdown",

@@ -526,7 +526,22 @@ def ivf_drift_check(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    kl_sym = _occupancy_sym_kl(old_counts, new_counts)
+    return {
+        "kl_sym": round(kl_sym, 6),
+        "needs_retrain": kl_sym > threshold,
+        "n_cells": len(set(old_counts) | set(new_counts)),
+    }
+
+
+def _occupancy_sym_kl(old_counts: dict, new_counts: dict) -> float:
+    """Laplace-smoothed symmetric KL between two occupancy histograms —
+    the shared drift metric of the store-maintenance family."""
+    import math
+
     cells = sorted(set(old_counts) | set(new_counts))
+    if not cells:
+        return 0.0
     a_tot = sum(old_counts.values()) + len(cells)
     b_tot = sum(new_counts.values()) + len(cells)
     kl_ab = kl_ba = 0.0
@@ -535,12 +550,7 @@ def ivf_drift_check(
         pb = (new_counts.get(c, 0) + 1) / b_tot
         kl_ab += pa * math.log(pa / pb)
         kl_ba += pb * math.log(pb / pa)
-    kl_sym = kl_ab + kl_ba
-    return {
-        "kl_sym": round(kl_sym, 6),
-        "needs_retrain": kl_sym > threshold,
-        "n_cells": len(cells),
-    }
+    return kl_ab + kl_ba
 
 
 def _evict_store_memo(spark, path: str) -> None:
@@ -632,6 +642,12 @@ def build_quantized_store(
     path never touches it. One narrow Arrow map, zero shuffles; zero-norm
     vectors are excluded at build (cosine undefined — same contract as the
     oracle's ``maxabs > 0`` filter)."""
+    _quantized_frame(embeddings, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _quantized_frame(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -659,9 +675,27 @@ def build_quantized_store(
                 }
             )
 
-    embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInPandas(
         _quant, "vec_id long, q array<tinyint>, scale double, qn double"
-    ).write.mode("overwrite").parquet(path)
+    )
+
+
+def append_quantized_store(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the int8 store: quantization is
+    PER-VECTOR (no trained state at all), so appending a batch is exactly
+    equivalent to having built the store over the union — the cheapest
+    member of the maintenance family (VERDICT r4 #7). One batch-sized
+    Arrow map + one append; probe memos evicted."""
+    _quantized_frame(new_embeddings, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(path)
+    _evict_store_memo(spark, path)
 
 
 def quantized_topk_stored(
@@ -868,6 +902,22 @@ def build_pq_store(
         )
         codebooks.append(_pq_subspace_centroids(sub, k, iters))
 
+    _pq_encode_frame(base, codebooks, m, dsub).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    with open(os.path.join(path, "codebook.json"), "w") as f:
+        json.dump({"m": m, "k": k, "dsub": dsub, "codebooks": codebooks}, f)
+
+
+def _pq_encode_frame(
+    base: DataFrame, codebooks: list[list[list[float]]], m: int, dsub: int
+) -> DataFrame:
+    """(vec_id, v:double[]) → (vec_id, c0..c{m-1}) against FIXED codebooks
+    — round-9 distances, argmin ties to the lowest cid (the exact rule the
+    DuckDB oracle's encode CTE replicates)."""
+    import numpy as np
+    import pandas as pd
+
     C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
 
     def _encode(iterator):
@@ -885,11 +935,82 @@ def build_pq_store(
             yield pd.DataFrame(out)
 
     code_cols = ", ".join(f"c{j} int" for j in range(m))
-    base.mapInPandas(_encode, f"vec_id long, {code_cols}").write.mode(
-        "overwrite"
+    return base.mapInPandas(_encode, f"vec_id long, {code_cols}")
+
+
+def append_pq_store(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ maintenance (VERDICT r4 #7): encode ONLY the new
+    batch against the FROZEN per-subspace codebooks (codebook.json) and
+    append the 4-bit codes — daily cost scales with the batch, never the
+    corpus. Codebooks are deliberately not retrained (that invalidates
+    every stored code = a rebuild); :func:`pq_drift_check` flags when the
+    frozen codebooks stopped representing the incoming distribution."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "codebook.json")) as f:
+        cb = _json.load(f)
+    base = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    _pq_encode_frame(base, cb["codebooks"], cb["m"], cb["dsub"]).write.mode(
+        "append"
     ).parquet(f"{path}/codes")
-    with open(os.path.join(path, "codebook.json"), "w") as f:
-        json.dump({"m": m, "k": k, "dsub": dsub, "codebooks": codebooks}, f)
+    _evict_store_memo(spark, path)
+
+
+def pq_drift_check(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = IVF_DRIFT_THRESHOLD,
+) -> dict:
+    """Per-subspace code-occupancy drift (the :func:`ivf_drift_check`
+    formula over each subspace's code histogram): encode the batch against
+    the frozen codebooks, compare its code distribution with the stored
+    corpus's per subspace, report the WORST subspace's symmetric KL —
+    one drifted subspace already degrades every ADC distance. Histograms
+    are k-bounded (two ≤ m×k-row aggregations), constant driver traffic.
+    Returns {"kl_sym": worst, "needs_retrain": bool, "by_subspace": [...]}.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "codebook.json")) as f:
+        cb = _json.load(f)
+    m = cb["m"]
+    old = spark.read.parquet(f"{path}/codes")
+    base = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    new = _pq_encode_frame(base, cb["codebooks"], m, cb["dsub"]).localCheckpoint()
+    kls = []
+    for j in range(m):
+        o = {
+            int(r[f"c{j}"]): int(r["n"])
+            for r in old.groupBy(f"c{j}").agg(F.count("*").alias("n")).collect()
+        }
+        nw = {
+            int(r[f"c{j}"]): int(r["n"])
+            for r in new.groupBy(f"c{j}").agg(F.count("*").alias("n")).collect()
+        }
+        kls.append(_occupancy_sym_kl(o, nw))
+    worst = max(kls) if kls else 0.0
+    return {
+        "kl_sym": round(worst, 6),
+        "needs_retrain": worst > threshold,
+        "by_subspace": [round(x, 6) for x in kls],
+    }
 
 
 PQ_RERANK = 128  # ADC candidates re-ranked exactly (FAISS's refine stage)
