@@ -3189,6 +3189,64 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text_extract(built)
 
 
+WARC_SEG_DOCS = 50
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment ingest (the Common Crawl front door, ISO 28500):
+    documents are packed into WARC/1.0 response records — 50 docs per
+    segment, html/plain alternating by doc parity, EVERY ODD SEGMENT
+    shipped as concatenated per-record gzip members (the .warc.gz layout)
+    — then recovered by the stdlib parser: length-framed record walk
+    (never marker-scanning — payloads may embed ``WARC/1.0``), HTTP
+    envelope strip, per-member inflate. Output is layout-independent
+    (gzip and plain segments must parse identically), which is what the
+    oracle checks: it re-derives url/status/mime/length/md5 straight from
+    the documents table."""
+    import pandas as pd  # noqa: PLC0415
+
+    from text_extract_api_spark.extractors.warc import make_warc, warc_ingest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.floor(F.col("doc_id") / WARC_SEG_DOCS).cast("long").alias("seg"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            t = row["text"] or ""
+            if did % 2 == 0:
+                body = f"<html><body><p>{t}</p></body></html>".encode()
+                ctype = "text/html"
+            else:
+                body = t.encode()
+                ctype = "text/plain"
+            recs.append((f"http://example.com/doc/{did}", body, ctype))
+        return pd.DataFrame(
+            {
+                "segment": [str(seg)],
+                "payload": [make_warc(recs, gzip_members=bool(seg % 2))],
+            }
+        )
+
+    segs = docs.groupBy("seg").applyInPandas(
+        build, "segment string, payload binary"
+    )
+    rows = warc_ingest(segs)
+    return rows.select(
+        "segment",
+        "rec_no",
+        "url",
+        "status",
+        "mime",
+        F.length("body").cast("bigint").alias("byte_len"),
+        F.md5("body").alias("body_md5"),
+    )
+
+
 def q_image_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: image→PDF converter (converters/image_to_pdf.py:12-27), stub-
     backed with a value-level oracle on the emitted bytes."""
@@ -4591,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append_topk": q_ann_ivf_append_topk,
         "ann_pq_append_topk": q_ann_pq_append_topk,
         "ann_quantized_append_topk": q_ann_quantized_append_topk,
+        "warc_ingest": q_warc_ingest,
     }
     green = _last_green_rounds()
     changed = set(_CHANGED_THIS_ROUND)
@@ -5206,6 +5265,24 @@ FROM documents
         "image_header_meta": _image_header_meta_sql(),
         # Spark recovers the pages from real PDF bytes (deflate → object
         # graph → operator scan); the oracle re-paginates the source text
+        # the parser's output is framed-layout-independent, so the oracle
+        # re-derives every field from the source table directly
+        "warc_ingest": f"""
+SELECT CAST(doc_id // {WARC_SEG_DOCS} AS VARCHAR) AS segment,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id // {WARC_SEG_DOCS}
+           ORDER BY doc_id) AS INT) AS rec_no,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS INT) AS status,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mime,
+       CAST(length(CASE WHEN doc_id % 2 = 0
+            THEN '<html><body><p>' || text || '</p></body></html>'
+            ELSE text END) AS BIGINT) AS byte_len,
+       md5(CASE WHEN doc_id % 2 = 0
+            THEN '<html><body><p>' || text || '</p></body></html>'
+            ELSE text END) AS body_md5
+FROM documents
+""".strip(),
         "pdf_text_extract": f"""
 SELECT CAST(doc_id AS VARCHAR) AS media_ref, CAST(k AS INT) AS page_no,
        substring(text, (k - 1) * {PDF_PAGE_CHARS} + 1, {PDF_PAGE_CHARS})

@@ -102,6 +102,7 @@ HEADLINE = [
     "ann_pq_append_topk",
     "ann_quantized_append_topk",
     "pdf_text_extract",
+    "warc_ingest",
     "image_header_meta",
     "html_to_markdown",
     "html_outlinks",
