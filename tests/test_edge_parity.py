@@ -61,6 +61,13 @@ EDGE_SENSITIVE = [
     # its materialization half re-emits full payloads — the value hash
     # pins every surviving edge-shaped span byte-for-byte
     "span_boilerplate_apply",
+    # r5: document texts round-trip through REAL container bytes — the
+    # punctuation case stresses PDF literal-string escaping ((), \\),
+    # the 5000-char case multi-page pagination and TJ splits, and the
+    # control-whitespace case the latin-1 encode/decode boundary; WARC
+    # wraps the same shapes in length-framed HTTP envelopes
+    "pdf_text_extract",
+    "warc_ingest",
 ]
 
 
